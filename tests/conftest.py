@@ -1,0 +1,18 @@
+"""Test configuration: run every test on a virtual 8-device CPU mesh.
+
+Must set the env BEFORE jax is imported anywhere — this file is imported
+by pytest before test modules, so keep jax imports out of module scope in
+tests' import chains only AFTER this runs (pytest guarantees conftest
+executes first).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+  os.environ["XLA_FLAGS"] = (
+      _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
