@@ -1,0 +1,269 @@
+"""Dataset loaders. Contract: `load(args) -> (labels, camera, lights|None)`
+where labels is imgs [N,S,S,C] (or (imgs, times) for dynamic data).
+
+Capability parity: /root/reference/src/loaders.py —
+  original   :74-101  NeRF-synthetic / NeRFactor JSON + images
+  dnerf      :103-150 D-NeRF JSON with per-frame times (+ Gibson quirks)
+  dtu        :152-195 DTU scans (cameras.npz projection matrices)
+  nerv_point :197-250 NeRV EXR images + point lights
+  single_video :279-298, single_image :300-304
+plus our `synthetic` procedural scenes (no-download golden data).
+
+Host-side (numpy + imageio/cv2); arrays land on device when the sampler
+batches them. Images are float32 in [0,1]; masks ride as a 4th channel.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+from . import cameras as cam_lib
+from . import synthetic
+
+
+class DatasetBundle(NamedTuple):
+  labels: Any            # imgs [N,S,S,C] or (imgs [N,S,S,C], times [N])
+  camera: Any
+  lights: Optional[Any]  # point-light positions [N, L, 3] or None
+
+
+def _imread(path: str) -> np.ndarray:
+  import imageio.v2 as imageio
+  img = imageio.imread(path)
+  img = np.asarray(img)
+  if img.dtype == np.uint8:
+    img = img.astype(np.float32) / 255.0
+  elif img.dtype == np.uint16:
+    img = img.astype(np.float32) / 65535.0
+  else:
+    img = img.astype(np.float32)
+  return img
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+  if img.shape[0] == size and img.shape[1] == size:
+    return img
+  import cv2
+  return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+
+
+def original(path: str, training: bool = True, size: int = 256,
+             white_bg: bool = False, with_mask: bool = False):
+  """NeRF-synthetic format: transforms_{train,test}.json + RGBA pngs."""
+  kind = "train" if training else "test"
+  tfs_path = os.path.join(path, f"transforms_{kind}.json")
+  if not os.path.exists(tfs_path):
+    tfs_path = os.path.join(path, "transforms.json")
+  with open(tfs_path) as f:
+    meta = json.load(f)
+
+  imgs, poses = [], []
+  for frame in meta["frames"]:
+    fp = os.path.join(path, frame["file_path"])
+    if not os.path.splitext(fp)[1]:
+      fp = fp + ".png"
+    img = _resize(_imread(fp), size)
+    poses.append(np.asarray(frame["transform_matrix"], np.float32))
+    if img.shape[-1] == 4:
+      rgb, a = img[..., :3], img[..., 3:]
+      if white_bg:
+        img = np.concatenate([rgb * a + (1 - a), a], -1)
+    if not with_mask and img.shape[-1] == 4:
+      img = img if white_bg is False else img  # keep alpha channel
+    imgs.append(img)
+  imgs = np.stack(imgs)
+  camera = cam_lib.NeRFCamera.from_json_transforms(
+      np.stack(poses), float(meta["camera_angle_x"]), size)
+  return DatasetBundle(imgs, camera, None)
+
+
+def dnerf(path: str, training: bool = True, size: int = 256,
+          white_bg: bool = False, time_gamma: float = 1.0):
+  """D-NeRF format: frames carry a `time` field; times normalized to [0,1]
+  and sorted (reference src/loaders.py:103-150)."""
+  kind = "train" if training else "test"
+  with open(os.path.join(path, f"transforms_{kind}.json")) as f:
+    meta = json.load(f)
+  frames = sorted(meta["frames"], key=lambda fr: fr.get("time", 0.0))
+  imgs, poses, times = [], [], []
+  for frame in frames:
+    fp = os.path.join(path, frame["file_path"])
+    if not os.path.splitext(fp)[1]:
+      fp = fp + ".png"
+    img = _resize(_imread(fp), size)
+    if img.shape[-1] == 4 and white_bg:
+      rgb, a = img[..., :3], img[..., 3:]
+      img = np.concatenate([rgb * a + (1 - a), a], -1)
+    imgs.append(img)
+    poses.append(np.asarray(frame["transform_matrix"], np.float32))
+    times.append(float(frame.get("time", 0.0)))
+  imgs = np.stack(imgs)
+  times = np.asarray(times, np.float32)
+  tmax = times.max() if times.max() > 0 else 1.0
+  times = (times / tmax) ** time_gamma
+  camera = cam_lib.NeRFCamera.from_json_transforms(
+      np.stack(poses), float(meta["camera_angle_x"]), size)
+  return DatasetBundle((imgs, times), camera, None)
+
+
+def _decompose_projection(P: np.ndarray):
+  """P = K [R | t] -> (K, R, t) via RQ decomposition (replaces the
+  reference's cv2.decomposeProjectionMatrix, src/loaders.py:166-172)."""
+  import scipy.linalg
+  M = P[:, :3]
+  K, R = scipy.linalg.rq(M)
+  # positive diagonal on K
+  signs = np.sign(np.diag(K))
+  signs[signs == 0] = 1
+  K = K * signs[None, :]
+  R = R * signs[:, None]
+  if np.linalg.det(R) < 0:
+    R = -R
+  t = np.linalg.solve(K, P[:, 3])
+  center = -R.T @ t
+  K = K / K[2, 2]
+  return K, R, center
+
+
+def dtu(path: str, training: bool = True, size: int = 256,
+        with_mask: bool = True, max_views: Optional[int] = None):
+  """DTU scan: image/*.png + mask/*.png + cameras.npz with world_mat
+  (projection) and scale_mat (scene normalization)."""
+  npz = np.load(os.path.join(path, "cameras.npz"))
+  img_dir = os.path.join(path, "image")
+  names = sorted(os.listdir(img_dir))
+  if max_views:
+    names = names[:max_views]
+  imgs, poses, Ks = [], [], []
+  for i, name in enumerate(names):
+    img = _imread(os.path.join(img_dir, name))
+    orig_h, orig_w = img.shape[:2]
+    img = _resize(img, size)[..., :3]
+    mask_path = os.path.join(path, "mask", name)
+    if with_mask and os.path.exists(mask_path):
+      mask = _resize(_imread(mask_path), size)
+      mask = mask[..., :1] if mask.ndim == 3 else mask[..., None]
+      img = np.concatenate([img, (mask > 0.5).astype(np.float32)], -1)
+    world_mat = npz[f"world_mat_{i}"][:3]
+    scale_mat = npz.get(f"scale_mat_{i}", np.eye(4))
+    P = world_mat @ scale_mat
+    K, R, center = _decompose_projection(P)
+    # rescale intrinsics to the resized image
+    K = np.diag([size / orig_w, size / orig_h, 1.0]) @ K
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R.T
+    pose[:3, 3] = center
+    imgs.append(img)
+    poses.append(pose)
+    Ks.append(K.astype(np.float32))
+  camera = cam_lib.DTUCamera(pose=np.stack(poses), K=np.stack(Ks))
+  return DatasetBundle(np.stack(imgs), camera, None)
+
+
+def nerv_point(path: str, training: bool = True, size: int = 200,
+               light_intensity: float = 100.0):
+  """NeRV point-light data: EXR renders + masks + per-frame light/cam poses
+  (reference src/loaders.py:197-250). Returns point-light positions."""
+  from .lights_io import read_exr  # lazy: EXR support is optional
+  kind = "train" if training else "test"
+  with open(os.path.join(path, f"transforms_{kind}.json")) as f:
+    meta = json.load(f)
+  imgs, poses, light_locs = [], [], []
+  for frame in meta["frames"]:
+    fp = os.path.join(path, frame["file_path"])
+    img = read_exr(fp + ".exr") if os.path.exists(fp + ".exr") else _imread(fp + ".png")
+    img = _resize(img, size)
+    mp = fp.replace("rgba", "mask")
+    if os.path.exists(mp + ".png"):
+      mask = _resize(_imread(mp + ".png"), size)
+      mask = mask[..., :1] if mask.ndim == 3 else mask[..., None]
+      img = np.concatenate([img[..., :3], mask], -1)
+    imgs.append(img)
+    poses.append(np.asarray(frame["transform_matrix"], np.float32))
+    ll = frame.get("light_loc",
+                   np.asarray(frame["transform_matrix"], np.float32)[:3, 3])
+    light_locs.append(np.asarray(ll, np.float32).reshape(-1, 3))
+  camera = cam_lib.NeRFCamera.from_json_transforms(
+      np.stack(poses), float(meta["camera_angle_x"]), size)
+  lights = np.stack(light_locs)  # [N, L, 3]
+  return DatasetBundle(np.stack(imgs), camera,
+                       {"positions": lights, "intensity": light_intensity})
+
+
+def single_video(path: str, training: bool = True, size: int = 256,
+                 fov: float = 60.0, max_frames: int = 200):
+  """Frames + normalized times from a video file, with an origin-pinned
+  FOV camera (reference src/loaders.py:279-298)."""
+  import imageio.v2 as imageio
+  reader = imageio.get_reader(path)
+  frames = []
+  for i, frame in enumerate(reader):
+    if i >= max_frames:
+      break
+    frames.append(_resize(np.asarray(frame, np.float32) / 255.0, size))
+  imgs = np.stack(frames)
+  times = np.linspace(0.0, 1.0, len(frames)).astype(np.float32)
+  camera = cam_lib.StaticCamera.from_fov(fov, size, n_views=len(frames))
+  return DatasetBundle((imgs, times), camera, None)
+
+
+def single_image(path: str, training: bool = True, size: int = 256):
+  """One image + identity camera (PixelNeRF single-view)."""
+  img = _resize(_imread(path), size)[None]
+  camera = cam_lib.NeRFCamera.identity(1, focal=size * 0.5)
+  return DatasetBundle(img, camera, None)
+
+
+def synthetic_spheres(path: str = "", training: bool = True, size: int = 64,
+                      num_views: int = 8, dynamic: bool = False,
+                      white_bg: bool = False):
+  """Procedural golden scene (see synthetic.py). `path` ignored."""
+  labels, camera, lights = synthetic.dataset(
+      num_views=num_views, size=size, dynamic=dynamic, white_bg=white_bg,
+      seed=0 if training else 1)
+  return DatasetBundle(labels, camera, lights)
+
+
+LOADER_KINDS = {
+    "original": original,
+    "dnerf": dnerf,
+    "dtu": dtu,
+    "nerv_point": nerv_point,
+    "single_video": single_video,
+    "pixel-single": single_image,
+    "synthetic": synthetic_spheres,
+    "synthetic-dyn": lambda *a, **kw: synthetic_spheres(*a, dynamic=True, **kw),
+}
+
+
+def kind_from_path(path: str) -> str:
+  """Derive loader kind from the data path (reference src/loaders.py:20-28)."""
+  ext = os.path.splitext(path)[1].lower()
+  if ext in (".mp4", ".gif", ".avi"):
+    return "single_video"
+  if ext in (".png", ".jpg", ".jpeg"):
+    return "pixel-single"
+  if os.path.isdir(path):
+    if os.path.exists(os.path.join(path, "cameras.npz")):
+      return "dtu"
+    for name in ("transforms_train.json", "transforms.json"):
+      p = os.path.join(path, name)
+      if os.path.exists(p):
+        with open(p) as f:
+          if '"time"' in f.read():
+            return "dnerf"
+        return "original"
+  return "synthetic"
+
+
+def load(data_path: str, data_kind: Optional[str] = None,
+         training: bool = True, size: int = 256, **kwargs) -> DatasetBundle:
+  kind = data_kind or kind_from_path(data_path)
+  fn = LOADER_KINDS.get(kind)
+  if fn is None:
+    raise NotImplementedError(f"unknown data kind {kind}")
+  return fn(data_path, training=training, size=size, **kwargs)
