@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Benchmark: rays/sec/chip rendering an 800×800 view with the flagship
+PlainNeRF (hash-encoded density MLP + view reflectance, 64 samples/ray)
+— the BASELINE.json primary metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (the reference publishes no rays/sec — BASELINE.md):
+its canonical `original` recipe trains 80k steps of 4-view × 16×16-crop
+batches (= 1024 rays/step) in ≈1 day on the author's GPU
+(/root/reference/readme.md:106-107,133; makefile:8-13) → ≈950 rays/sec.
+We use 1000 rays/sec as the reference baseline.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_RAYS_PER_SEC = 1000.0
+SIZE = 800
+STEPS = 64
+CHUNK = 160_000  # rays per device call (800*800 = 4 chunks)
+
+
+def main():
+  from nerf_atlas_tpu import models
+
+  model = models.PlainNeRF(steps=STEPS, t_near=2.0, t_far=6.0,
+                           refl_kind="view", sky_kind="black")
+  key = jax.random.PRNGKey(0)
+  r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (CHUNK, 1))
+  r_d = jax.random.normal(key, (CHUNK, 3)) * 0.1 + jnp.array([0., 0., -1.])
+  rays = jnp.concatenate([r_o, r_d], axis=-1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays[:256],
+                      train=True)
+
+  @jax.jit
+  def render(params, rays):
+    return model.apply(params, rays)["rgb"]
+
+  # warmup/compile
+  render(params, rays).block_until_ready()
+
+  n_rays = SIZE * SIZE
+  n_chunks = (n_rays + CHUNK - 1) // CHUNK
+  reps = 3
+  t0 = time.perf_counter()
+  for _ in range(reps):
+    for _ in range(n_chunks):
+      out = render(params, rays)
+    out.block_until_ready()
+  dt = (time.perf_counter() - t0) / reps
+  rays_per_sec = n_chunks * CHUNK / dt
+
+  print(json.dumps({
+      "metric": "rays/sec/chip, 800x800 render, PlainNeRF 64 steps",
+      "value": round(rays_per_sec, 1),
+      "unit": "rays/s",
+      "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+  }))
+
+
+if __name__ == "__main__":
+  main()

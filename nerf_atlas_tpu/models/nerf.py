@@ -1,0 +1,193 @@
+"""Static NeRF variants: TinyNeRF, PlainNeRF, NeRFAE, CoarseFineNeRF.
+
+Capability parity:
+  TinyNeRF        /root/reference/src/nerf.py:278-305
+  PlainNeRF       /root/reference/src/nerf.py:310-361
+  NeRFAE          /root/reference/src/nerf.py:766-840
+  CoarseFineNeRF  /root/reference/src/nerf.py:526-581 (the reference's is
+                  unfinished — exit() at :579; ours implements the intended
+                  coarse→inverse-CDF-fine hierarchy, working).
+
+All models expose `query(pts, view, latent, train)` (the point-field view
+used by dynamic wrappers and the fused render kernels) alongside
+`__call__(rays, ...)`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn import HashEncoder, PositionalEncoder, SkipConnMLP
+from ..ops import integrate, sampling
+from ..refl import load_refl
+from .base import NeRFBase, broadcast_latent, view_per_sample
+
+
+class TinyNeRF(NeRFBase):
+  """Single MLP -> (sigma, rgb); no view dependence."""
+
+  def setup(self):
+    self.mlp = SkipConnMLP(
+        in_size=3, out=1 + 3, latent_size=self.latent_size,
+        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
+        num_layers=6, hidden_size=128, dtype=self.dtype)
+
+  def query(self, pts, view=None, latent=None, train: bool = False):
+    out = self.mlp(pts, latent)
+    density = self.add_density_noise(out[..., 0], train)
+    rgb = self.rgb_act(out[..., 1:])
+    return density, rgb
+
+  def __call__(self, rays, times=None, latents=None, train: bool = False):
+    pts, ts, r_o, r_d = self.sample_points(rays, train)
+    lat = broadcast_latent(latents, pts.shape, self.latent_size)
+    density, rgb = self.query(pts, latent=lat, train=train)
+    return self.finish(density, rgb, ts, r_d, train)
+
+
+class PlainNeRF(NeRFBase):
+  """Density MLP (hash-encoded, or IPE when mip is set) emitting sigma +
+  an intermediate feature; RGB from a pluggable reflectance model."""
+  refl_kind: str = "view"
+  refl_space: str = "identity"
+
+  def setup(self):
+    # with mip, the density MLP consumes IPE features (width 2*3*16 = 96
+    # for the default cone encoding) instead of hash-encoded raw points
+    self.first = SkipConnMLP(
+        in_size=3 if self.mip is None else 96,
+        out=1 + self.intermediate_size,
+        latent_size=self.latent_size,
+        enc=None if self.mip is not None else HashEncoder(),
+        num_layers=5, hidden_size=256, dtype=self.dtype,
+        name="density_mlp")
+    self.refl = load_refl(
+        self.refl_kind,
+        latent_size=self.intermediate_size + self.latent_size,
+        act=self.sigmoid_kind, space=self.refl_space)
+
+  def query(self, pts, view=None, latent=None, train: bool = False,
+            mip_feats=None):
+    x = pts if mip_feats is None else mip_feats
+    out = self.first(x, latent)
+    density = self.add_density_noise(out[..., 0], train)
+    feats = out[..., 1:]
+    lat = feats if latent is None else jnp.concatenate([feats, latent], -1)
+    rgb = self.refl(pts, view=view, latent=lat)
+    return density, rgb
+
+  def __call__(self, rays, times=None, latents=None, train: bool = False):
+    pts, ts, r_o, r_d = self.sample_points(rays, train)
+    lat = broadcast_latent(latents, pts.shape, self.latent_size)
+    view = view_per_sample(r_d, self.steps)
+    mip_feats = self.mip_encode(r_o, r_d, ts)
+    density, rgb = self.query(pts, view=view, latent=lat, train=train,
+                              mip_feats=mip_feats)
+    return self.finish(density, rgb, ts, r_d, train)
+
+
+class NeRFAE(NeRFBase):
+  """Auto-encoded NeRF: points encode to a latent field; density and
+  reflectance both read the latent (reference src/nerf.py:766-840)."""
+  refl_kind: str = "view"
+  encoding_size: int = 32
+  normalize_latent: bool = True
+
+  def setup(self):
+    self.encoder = SkipConnMLP(
+        in_size=3, out=self.encoding_size, latent_size=self.latent_size,
+        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
+        num_layers=5, hidden_size=256, dtype=self.dtype, name="encode")
+    self.density_tfm = SkipConnMLP(
+        in_size=self.encoding_size, out=1 + self.intermediate_size,
+        num_layers=4, hidden_size=128, dtype=self.dtype,
+        name="density_tfm")
+    self.refl = load_refl(
+        self.refl_kind,
+        latent_size=self.encoding_size + self.intermediate_size,
+        act=self.sigmoid_kind)
+
+  def encode(self, pts, latent=None):
+    enc = self.encoder(pts, latent)
+    if self.normalize_latent:
+      enc = enc / jnp.maximum(
+          jnp.linalg.norm(enc, axis=-1, keepdims=True), 1e-6)
+    return enc
+
+  def query_from_encoding(self, pts, enc, view=None, train: bool = False):
+    out = self.density_tfm(enc)
+    density = self.add_density_noise(out[..., 0], train)
+    lat = jnp.concatenate([enc, out[..., 1:]], axis=-1)
+    rgb = self.refl(pts, view=view, latent=lat)
+    return density, rgb
+
+  def query(self, pts, view=None, latent=None, train: bool = False):
+    enc = self.encode(pts, latent)
+    return self.query_from_encoding(pts, enc, view=view, train=train)
+
+  def __call__(self, rays, times=None, latents=None, train: bool = False):
+    pts, ts, r_o, r_d = self.sample_points(rays, train)
+    lat = broadcast_latent(latents, pts.shape, self.latent_size)
+    view = view_per_sample(r_d, self.steps)
+    enc = self.encode(pts, lat)
+    density, rgb = self.query_from_encoding(pts, enc, view=view, train=train)
+    out = self.finish(density, rgb, ts, r_d, train)
+    out["latent_l2"] = jnp.mean(jnp.square(enc))
+    return out
+
+
+class CoarseFineNeRF(NeRFBase):
+  """Hierarchical NeRF: a coarse uniform pass drives inverse-CDF
+  importance sampling for the fine pass. Both images are returned; the
+  training loss sums both (the intended behavior of the reference's
+  unfinished version)."""
+  refl_kind: str = "view"
+  fine_steps: int = 64
+
+  def setup(self):
+    self.first = SkipConnMLP(
+        in_size=3, out=1 + self.intermediate_size,
+        latent_size=self.latent_size, enc=HashEncoder(),
+        num_layers=5, hidden_size=256, dtype=self.dtype,
+        name="density_mlp")
+    self.refl = load_refl(
+        self.refl_kind,
+        latent_size=self.intermediate_size + self.latent_size,
+        act=self.sigmoid_kind)
+
+  def query(self, pts, view=None, latent=None, train: bool = False):
+    out = self.first(pts, latent)
+    density = self.add_density_noise(out[..., 0], train)
+    lat = (out[..., 1:] if latent is None
+           else jnp.concatenate([out[..., 1:], latent], -1))
+    rgb = self.refl(pts, view=view, latent=lat)
+    return density, rgb
+
+  def __call__(self, rays, times=None, latents=None, train: bool = False):
+    pts, ts, r_o, r_d = self.sample_points(rays, train)
+    lat = broadcast_latent(latents, pts.shape, self.latent_size)
+    view = view_per_sample(r_d, self.steps)
+    density, rgb = self.query(pts, view=view, latent=lat, train=train)
+    coarse = self.finish(density, rgb, ts, r_d, train)
+
+    # importance-sample fine ts from coarse weights (stop-grad: sample
+    # placement is not differentiated, matching standard hierarchical NeRF)
+    w = jax.lax.stop_gradient(coarse["weights"])
+    ts_b = jnp.broadcast_to(ts, w.shape) if ts.ndim == 1 else ts
+    key = self.make_rng("sampler") if train else None
+    fine_ts = sampling.sample_pdf(ts_b, w, N=self.fine_steps, key=key)
+    all_ts = sampling.merge_ts(ts_b, fine_ts)
+    pts_f = (rays[..., None, :3]
+             + all_ts[..., :, None] * rays[..., None, 3:])
+    T_all = all_ts.shape[-1]
+    view_f = view_per_sample(r_d, T_all)
+    lat_f = broadcast_latent(latents, pts_f.shape, self.latent_size)
+    density_f, rgb_f = self.query(pts_f, view=view_f, latent=lat_f,
+                                  train=train)
+    fine = self.finish(density_f, rgb_f, all_ts, r_d, train)
+    fine["coarse_rgb"] = coarse["rgb"]
+    fine["coarse_weights"] = coarse["weights"]
+    return fine

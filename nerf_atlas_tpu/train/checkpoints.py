@@ -1,0 +1,103 @@
+"""Structured (pytree) checkpoints with module-swap surgery.
+
+Capability parity: the reference pickles whole nn.Modules
+(runner.py:1215-1227) and performs checkpoint *surgery* by replacing
+submodules on load (`--replace refl/occ/bg/...`, set_per_run,
+runner.py:1041-1170). Opaque pickles can't do that safely; here a
+checkpoint is (params pytree as msgpack) + (JSON config of the model
+registry kind/kwargs), and surgery is a pytree merge: build the new
+model's init params, then graft every matching subtree from the old
+checkpoint — swapped modules simply fall back to their fresh init.
+
+Versioned saves and optimizer-state saving are supported
+(`--versioned-save`, `--save-load-opt` analogs).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def save(path: str, params, config: Optional[Dict[str, Any]] = None,
+         opt_state=None, step: int = 0, versioned: bool = False):
+  """Write params (+ optional optimizer state) and a JSON config sidecar."""
+  if versioned:
+    base, ext = os.path.splitext(path)
+    path = f"{base}_{step:07d}{ext}"
+  os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+  payload = {"params": params, "step": step}
+  if opt_state is not None:
+    payload["opt_state"] = opt_state
+  with open(path, "wb") as f:
+    f.write(serialization.to_bytes(payload))
+  if config is not None:
+    with open(path + ".json", "w") as f:
+      json.dump(config, f, indent=2, default=str)
+  return path
+
+
+def load(path: str, like: Optional[Dict[str, Any]] = None):
+  """Read a checkpoint. `like` is a template pytree (e.g. fresh init) used
+  to restore exact array types/structure; without it, returns raw
+  dict-of-arrays."""
+  with open(path, "rb") as f:
+    data = f.read()
+  if like is not None:
+    return serialization.from_bytes(like, data)
+  return serialization.msgpack_restore(data)
+
+
+def load_config(path: str) -> Optional[Dict[str, Any]]:
+  cfg_path = path + ".json"
+  if os.path.exists(cfg_path):
+    with open(cfg_path) as f:
+      return json.load(f)
+  return None
+
+
+def graft(fresh: Any, saved: Any) -> Tuple[Any, list, list]:
+  """Merge a saved params tree into a freshly-initialized one.
+
+  Every leaf whose path exists in both trees with a matching shape is
+  taken from `saved`; everything else keeps the fresh init. Returns
+  (merged, restored_paths, skipped_paths) — the module-replacement
+  mechanism: swap the model config, graft the old checkpoint, and only
+  the replaced submodule re-initializes.
+  """
+  restored, skipped = [], []
+
+  def merge(f, s, path):
+    if isinstance(f, dict):
+      if not isinstance(s, dict):
+        skipped.append(path)
+        return f
+      return {k: merge(v, s[k], f"{path}/{k}") if k in s
+              else (skipped.append(f"{path}/{k}") or v)
+              for k, v in f.items()}
+    if s is None:
+      skipped.append(path)
+      return f
+    s_arr = jnp.asarray(s)
+    if hasattr(f, "shape") and f.shape == s_arr.shape:
+      restored.append(path)
+      return s_arr.astype(f.dtype)
+    skipped.append(path)
+    return f
+
+  return merge(fresh, saved, ""), restored, skipped
+
+
+def restore_or_graft(path: str, fresh_params):
+  """Load `path` and graft onto `fresh_params`; tolerant of structure
+  drift (the surgery path). Returns (params, info dict)."""
+  raw = load(path)
+  saved = raw.get("params", raw)
+  merged, restored, skipped = graft(fresh_params, saved)
+  return merged, {"restored": restored, "skipped": skipped,
+                  "step": int(raw.get("step", 0))}

@@ -1,0 +1,292 @@
+#!/usr/bin/env python3
+"""nerf_atlas_tpu runner — the flag-driven CLI.
+
+Capability parity with /root/reference/runner.py:37-438 (flag surface) and
+:1236-1322 (main flow): load data → build model from registries → train →
+test → optional render-over-time. Flags keep the reference's names where
+they exist; everything resolves into an immutable config dumped to
+log.json (the reference mutates args in place; we don't).
+
+Example (procedural golden scene, no downloads needed):
+  python runner.py -d synth --data-kind synthetic --model plain \
+      --steps 64 --epochs 500 --size 64 --test-crop-size 32
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def arguments():
+  a = argparse.ArgumentParser(description="TPU-native nerf_atlas")
+  a.add_argument("-d", "--data", default="", help="path to data")
+  a.add_argument("--data-kind", default=None,
+                 choices=[None, "original", "dnerf", "dtu", "nerv_point",
+                          "single_video", "pixel-single", "synthetic",
+                          "synthetic-dyn"],
+                 help="dataset loader (default: derived from path)")
+  a.add_argument("--size", type=int, default=64, help="training image size")
+  a.add_argument("--outdir", default="outputs")
+
+  # model
+  a.add_argument("--model", default="plain",
+                 choices=["tiny", "plain", "ae", "coarse_fine", "volsdf",
+                          "sdf", "voxel", "mpi", "rig", "spline", "hist",
+                          "bendy", "recurrent", "pixel-single"])
+  a.add_argument("--dyn-model", default=None,
+                 choices=[None, "plain", "ae", "long", "rig", "voxel"])
+  a.add_argument("--steps", type=int, default=64, help="samples per ray")
+  a.add_argument("--near", type=float, default=2.0)
+  a.add_argument("--far", type=float, default=6.0)
+  a.add_argument("--mip", default=None, choices=[None, "cone", "cylinder"])
+  a.add_argument("--sigmoid-kind", default="thin")
+  a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
+                 choices=["black", "white", "random", "mlp"])
+  a.add_argument("--intermediate-size", type=int, default=32)
+  a.add_argument("--density-noise", type=float, default=0.0)
+  a.add_argument("--voxel-resolution", type=int, default=64)
+  a.add_argument("--spline", type=int, default=0,
+                 help="spline control points for dynamic models (0=direct)")
+  a.add_argument("--long-vid-segments", type=int, default=4)
+
+  # reflectance / shading
+  a.add_argument("--refl-kind", default="view",
+                 choices=["pos", "view", "view-light", "pos-linear-view",
+                          "basic", "diffuse", "cook-torrance", "rusin",
+                          "rusin-helmholtz", "sph-har", "fourier",
+                          "weighted", "alternating"])
+  a.add_argument("--space-kind", default="identity",
+                 choices=["identity", "surface", "none"])
+  a.add_argument("--light-kind", default=None,
+                 choices=[None, "point", "field", "dataset"])
+  a.add_argument("--occ-kind", default=None,
+                 choices=[None, "hard", "learned", "learned-const",
+                          "all-learned", "joint-all-const"])
+  a.add_argument("--integrator-kind", default=None,
+                 choices=[None, "direct", "path"])
+
+  # sdf
+  a.add_argument("--sdf-kind", default="mlp",
+                 choices=["mlp", "siren", "curl-mlp", "local", "spheres",
+                          "triangles"])
+  a.add_argument("--bound-sphere-rad", type=float, default=-1,
+                 help=">0 bounds the SDF by a sphere of this radius")
+  a.add_argument("--isect-kind", default="bisect",
+                 choices=["bisect", "secant", "sphere"])
+
+  # optimization
+  a.add_argument("--epochs", type=int, default=1000,
+                 help="training steps (ray batches)")
+  a.add_argument("--batch-size", type=int, default=4096,
+                 help="rays per step")
+  a.add_argument("-lr", "--learning-rate", type=float, default=5e-4)
+  a.add_argument("--opt-kind", default="adam",
+                 choices=["adam", "adamw", "sgd", "rmsprop", "uniform_adam"])
+  a.add_argument("--loss-fns", nargs="+", default=["l2"],
+                 choices=["l2", "l1", "rmse", "fft", "ssim"])
+  a.add_argument("--color-spaces", nargs="+", default=["rgb"],
+                 choices=["rgb", "hsv", "luminance", "xyz"])
+  a.add_argument("--tone-map", action="store_true")
+  a.add_argument("--gamma-correct", action="store_true")
+  a.add_argument("--no-sched", action="store_true")
+  a.add_argument("--sched-min", type=float, default=5e-5)
+  a.add_argument("--clip-gradients", type=float, default=0.0)
+  a.add_argument("--opt-step", type=int, default=1,
+                 help="gradient accumulation steps")
+  a.add_argument("--seed", type=int, default=1337)
+  a.add_argument("--duration-sec", type=float, default=0.0)
+
+  # regularizers
+  a.add_argument("--latent-l2-weight", type=float, default=0.0)
+  a.add_argument("--eikonal-weight", type=float, default=0.0)
+  a.add_argument("--dp-weight", type=float, default=0.0,
+                 help="delta-x deformation magnitude reg")
+  a.add_argument("--offset-decay", type=float, default=0.0,
+                 help="NR-NeRF offset loss weight")
+  a.add_argument("--rigidity-sparsity", type=float, default=0.0)
+  a.add_argument("--tv-sigma", type=float, default=0.0)
+  a.add_argument("--tv-refl", type=float, default=0.0)
+  a.add_argument("--tv-bezier", type=float, default=0.0)
+  a.add_argument("--tv-rigidity", type=float, default=0.0)
+  a.add_argument("--weight-sparsity", type=float, default=0.0)
+  a.add_argument("--volsdf-scale-decay", type=float, default=0.0)
+
+  # reporting / io
+  a.add_argument("--valid-freq", type=int, default=500)
+  a.add_argument("--save-freq", type=int, default=1000)
+  a.add_argument("--versioned-save", action="store_true")
+  a.add_argument("--load", default=None, help="checkpoint to restore/graft")
+  a.add_argument("--save", default=None, help="checkpoint path")
+  a.add_argument("--notest", action="store_true")
+  a.add_argument("--notraintest", action="store_true")
+  a.add_argument("--test-crop-size", type=int, default=0,
+                 help="eval render chunk (0 = whole image)")
+  a.add_argument("--render-size", type=int, default=0,
+                 help="eval render resolution (0 = dataset size)")
+  a.add_argument("--msssim-loss", action="store_true",
+                 help="also report SSIM at test time")
+  a.add_argument("--render-over-time", type=int, default=-1,
+                 help=">=0: render this view over swept time")
+  a.add_argument("--render-frames", type=int, default=24)
+  a.add_argument("--num-views", type=int, default=8,
+                 help="views for procedural synthetic data")
+
+  # parallelism
+  a.add_argument("--mesh-devices", type=int, default=0,
+                 help="devices in the data mesh (0 = all)")
+  return a.parse_args()
+
+
+def build_model(args, dynamic: bool):
+  from nerf_atlas_tpu import models
+  common = dict(steps=args.steps, t_near=args.near, t_far=args.far,
+                sky_kind=args.sky_kind, sigmoid_kind=args.sigmoid_kind,
+                intermediate_size=args.intermediate_size,
+                density_noise=args.density_noise)
+  kind = args.model
+  kwargs = dict(common)
+  if kind in ("plain", "coarse_fine"):
+    kwargs["refl_kind"] = args.refl_kind
+    if kind == "plain":
+      kwargs["mip"] = args.mip
+  elif kind == "ae":
+    kwargs["refl_kind"] = args.refl_kind
+  elif kind == "volsdf":
+    kwargs.update(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
+                  occ_kind=args.occ_kind,
+                  integrator_kind=args.integrator_kind)
+  elif kind == "sdf":
+    kwargs = dict(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
+                  isect_kind=args.isect_kind, t_near=max(args.near - 2, 0.0),
+                  t_far=args.far, sigmoid_kind=args.sigmoid_kind,
+                  bounded=args.bound_sphere_rad > 0 or True,
+                  bound_radius=(args.bound_sphere_rad
+                                if args.bound_sphere_rad > 0 else 1.5))
+  elif kind == "voxel":
+    kwargs["resolution"] = args.voxel_resolution
+    kwargs["refl_kind"] = ("pos" if args.refl_kind
+                           not in ("pos", "pos-linear-view")
+                           else args.refl_kind)
+    kwargs.pop("intermediate_size", None)
+  elif kind in ("rig",):
+    kwargs["refl_kind"] = args.refl_kind
+
+  if not dynamic or args.dyn_model is None:
+    return models.load_model(kind, **{k: v for k, v in kwargs.items()
+                                      if v is not None or k == "mip"})
+
+  dyn_kwargs = dict(common)
+  if args.dyn_model == "plain":
+    dyn_kwargs.update(canonical_kind=kind, spline_points=args.spline,
+                      canonical_kwargs={"refl_kind": args.refl_kind})
+  elif args.dyn_model == "long":
+    dyn_kwargs.update(canonical_kind=kind, segments=args.long_vid_segments,
+                      canonical_kwargs={"refl_kind": args.refl_kind})
+  elif args.dyn_model == "voxel":
+    dyn_kwargs.update(resolution=args.voxel_resolution,
+                      spline_points=max(args.spline, 2))
+    dyn_kwargs.pop("intermediate_size", None)
+  elif args.dyn_model == "rig":
+    dyn_kwargs.update(spline_points=max(args.spline, 2))
+  return models.load_dyn_model(args.dyn_model, **dyn_kwargs)
+
+
+def main():
+  args = arguments()
+  from nerf_atlas_tpu.data import load, sampler
+  from nerf_atlas_tpu.train import checkpoints, driver
+
+  t0 = time.time()
+  os.makedirs(args.outdir, exist_ok=True)
+
+  load_kwargs = {}
+  if args.data_kind in ("synthetic", "synthetic-dyn"):
+    load_kwargs["num_views"] = args.num_views
+  bundle = load(args.data, data_kind=args.data_kind, training=True,
+                size=args.size, **load_kwargs)
+  ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
+  dynamic = ds.times is not None
+  model = build_model(args, dynamic)
+
+  cfg = driver.TrainConfig(
+      steps=args.epochs, batch_size=args.batch_size,
+      learning_rate=args.learning_rate, opt_kind=args.opt_kind,
+      loss_kinds=tuple(args.loss_fns),
+      color_spaces=tuple(args.color_spaces), tone_map=args.tone_map,
+      gamma_correct=args.gamma_correct,
+      reg_coeffs={
+          "latent_l2": args.latent_l2_weight,
+          "eikonal": args.eikonal_weight,
+          "delta_x": args.dp_weight,
+          "offset": args.offset_decay,
+          "rigidity_sparsity": args.rigidity_sparsity,
+          "tv_sigma": args.tv_sigma,
+          "tv_refl": args.tv_refl,
+          "tv_bezier": args.tv_bezier,
+          "tv_rigidity": args.tv_rigidity,
+          "weight_sparsity": args.weight_sparsity,
+          "volsdf_scale": args.volsdf_scale_decay,
+      },
+      grad_clip=args.clip_gradients, accum_steps=args.opt_step,
+      no_sched=args.no_sched, sched_min=args.sched_min, seed=args.seed,
+      valid_freq=args.valid_freq, save_freq=args.save_freq,
+      versioned_save=args.versioned_save,
+      save_path=args.save or os.path.join(args.outdir, "model.ckpt"),
+      duration_sec=args.duration_sec)
+
+  config_dict = {**vars(args), "argv": sys.argv,
+                 "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+  with open(os.path.join(args.outdir, "log.json"), "w") as f:
+    json.dump(config_dict, f, indent=2, default=str)
+
+  params = None
+  if args.load:
+    fresh = driver.init_model(model, ds, cfg.seed)
+    params, info = checkpoints.restore_or_graft(args.load, fresh)
+    print(f"[load] restored {len(info['restored'])} tensors, "
+          f"re-initialized {len(info['skipped'])} (step {info['step']})")
+
+  if args.epochs > 0:
+    def log_cb(m):
+      print(f"step {m['step']:6d}  loss {m['loss']:.5f}  "
+            f"psnr {m['psnr']:.2f}  ({time.time() - t0:.0f}s)")
+    params, _, history = driver.train(model, ds, cfg, params=params,
+                                      config_dict=config_dict,
+                                      callback=log_cb)
+  elif params is None:
+    params = driver.init_model(model, ds, cfg.seed)
+
+  results = {}
+  if not args.notraintest:
+    results["train"] = driver.test(
+        model, params, ds, out_dir=os.path.join(args.outdir, "train"),
+        render_size=args.render_size or None, with_ssim=args.msssim_loss)
+    print("[train]", results["train"]["summary"])
+  if not args.notest:
+    tb = load(args.data, data_kind=args.data_kind, training=False,
+              size=args.size, **load_kwargs)
+    tds = sampler.RayDataset.from_bundle(tb, size=args.size)
+    results["test"] = driver.test(
+        model, params, tds, out_dir=os.path.join(args.outdir, "test"),
+        render_size=args.render_size or None, with_ssim=args.msssim_loss)
+    print("[test]", results["test"]["summary"])
+
+  if args.render_over_time >= 0 and dynamic:
+    frames = driver.render_over_time(model, params, ds,
+                                     view=args.render_over_time,
+                                     frames=args.render_frames)
+    import imageio.v2 as imageio
+    vid_path = os.path.join(args.outdir, "over_time.gif")
+    imageio.mimwrite(vid_path,
+                     (np.clip(frames[..., :3], 0, 1) * 255).astype("uint8"))
+    print(f"[time] wrote {vid_path}")
+  return results
+
+
+if __name__ == "__main__":
+  main()

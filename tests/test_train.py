@@ -1,0 +1,110 @@
+"""Training stack: losses, optimizers, checkpoints/surgery, driver loops,
+and the sharded multi-chip step on the virtual 8-device CPU mesh."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_atlas_tpu import models
+from nerf_atlas_tpu.data import loaders, sampler
+from nerf_atlas_tpu.train import checkpoints, driver, losses, optim
+
+
+def test_loss_kinds_basic():
+  x = jnp.zeros((8, 3))
+  r = jnp.ones((8, 3)) * 0.5
+  assert float(losses.l2(x, r)) == pytest.approx(0.25)
+  assert float(losses.l1(x, r)) == pytest.approx(0.5)
+  assert float(losses.rmse(x, r)) == pytest.approx(0.5)
+
+
+def test_ssim_identity():
+  img = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+  assert float(losses.ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+  assert float(losses.ssim_loss(img, img)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_compose_loss_with_mask_channel():
+  f = losses.load_loss_fn(("l2",), ("rgb", "luminance"))
+  pred = jnp.concatenate([jnp.zeros((4, 3)), jnp.ones((4, 1))], -1)
+  targ = jnp.concatenate([jnp.zeros((4, 3)), jnp.zeros((4, 1))], -1)
+  # rgb term 0 in both spaces; mask term = 1
+  assert float(f(pred, targ)) == pytest.approx(1.0)
+
+
+def test_optimizer_kinds():
+  params = {"w": jnp.ones((4, 3))}
+  g = {"w": jnp.ones((4, 3))}
+  for kind in ("adam", "adamw", "sgd", "rmsprop", "uniform_adam"):
+    tx = optim.load_optimizer(kind, 1e-2, total_steps=10)
+    st = tx.init(params)
+    up, _ = tx.update(g, st, params)
+    assert jnp.isfinite(up["w"]).all(), kind
+
+
+def test_uniform_adam_smooths_pointsets():
+  """Nearby points get correlated updates under uniform_adam."""
+  pts = jnp.array([[0.0, 0, 0], [0.01, 0, 0], [5.0, 5, 5]])
+  g = jnp.array([[1.0, 0, 0], [-1.0, 0, 0], [0.0, 0, 1.0]])
+  from nerf_atlas_tpu.train.optim import _uniform_adam_precondition
+  out = _uniform_adam_precondition({"p": g}, {"p": pts})["p"]
+  # the two opposing updates on near-coincident points shrink toward 0
+  assert abs(float(out[0, 0])) < 0.6
+  assert abs(float(out[1, 0])) < 0.6
+  # the isolated point's update is roughly preserved
+  assert abs(float(out[2, 2]) - 1.0) < 0.35
+
+
+def test_checkpoint_roundtrip_and_surgery(tmp_path):
+  model = models.TinyNeRF(steps=8)
+  rays = jnp.concatenate([jnp.zeros((4, 3)),
+                          jnp.tile(jnp.array([[0, 0, -1.0]]), (4, 1))], -1)
+  rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+  params = model.init(rngs, rays, train=True)
+  p = checkpoints.save(str(tmp_path / "m.ckpt"), params,
+                       config={"model": "tiny"}, step=5)
+  fresh = model.init({"params": jax.random.PRNGKey(9),
+                      "sampler": jax.random.PRNGKey(10)}, rays, train=True)
+  restored, info = checkpoints.restore_or_graft(p, fresh)
+  assert info["step"] == 5 and len(info["skipped"]) == 0
+  a = jax.tree_util.tree_leaves(params)[0]
+  b = jax.tree_util.tree_leaves(restored)[0]
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+  # surgery: graft tiny checkpoint onto plain model — shared nothing,
+  # everything falls back to fresh init without error
+  plain = models.PlainNeRF(steps=8)
+  fresh_plain = plain.init(rngs, rays, train=True)
+  merged, info2 = checkpoints.restore_or_graft(p, fresh_plain)
+  out = plain.apply(merged, rays)
+  assert jnp.isfinite(out["rgb"]).all()
+
+
+def test_driver_train_and_test(tmp_path):
+  bundle = loaders.synthetic_spheres(size=24, num_views=3)
+  ds = sampler.RayDataset.from_bundle(bundle, size=24)
+  model = models.TinyNeRF(steps=16, t_near=1.5, t_far=4.5)
+  cfg = driver.TrainConfig(steps=30, batch_size=256, log_freq=10,
+                           save_freq=0, learning_rate=1e-3)
+  params, _, history = driver.train(model, ds, cfg)
+  assert history and history[-1]["loss"] < history[0]["loss"] * 1.5
+  res = driver.test(model, params, ds, out_dir=str(tmp_path),
+                    save_images=False)
+  assert "psnr_mean" in res and np.isfinite(res["psnr_mean"])
+  assert os.path.exists(tmp_path / "results.txt")
+
+
+def test_sharded_multichip_step():
+  """The __graft_entry__ dry run must pass on the 8-device CPU mesh."""
+  import __graft_entry__ as ge
+  n = min(8, jax.device_count())
+  ge.dryrun_multichip(n)
+
+
+def test_entry_compiles():
+  import __graft_entry__ as ge
+  fn, (params, rays) = ge.entry()
+  out = jax.jit(fn)(params, rays)
+  assert out.shape == (rays.shape[0], 3)
+  assert jnp.isfinite(out).all()
