@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark: rays/sec/chip rendering an 800×800 view with the flagship
-PlainNeRF (hash-encoded density MLP + view reflectance, 64 samples/ray)
-— the BASELINE.json primary metric.
+PlainNeRF (CP factorized-volume encoder + view reflectance, 64
+samples/ray, bf16 compute) — the BASELINE.json primary metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing note: on remote-attached TPUs, `block_until_ready` can return
+before remote execution completes; every measured iteration therefore
+forces a device→host reduction (`float(out.sum())`), which cannot be
+satisfied without executing the computation.
 
 Baseline derivation (the reference publishes no rays/sec — BASELINE.md):
 its canonical `original` recipe trains 80k steps of 4-view × 16×16-crop
@@ -14,22 +19,28 @@ We use 1000 rays/sec as the reference baseline.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 
 REFERENCE_RAYS_PER_SEC = 1000.0
 SIZE = 800
 STEPS = 64
-CHUNK = 160_000  # rays per device call (800*800 = 4 chunks)
+CHUNK = 131_072
 
 
 def main():
   from nerf_atlas_tpu import models
 
   model = models.PlainNeRF(steps=STEPS, t_near=2.0, t_far=6.0,
-                           refl_kind="view", sky_kind="black")
+                           refl_kind="view", sky_kind="black",
+                           enc_kind="cp", dtype=jnp.bfloat16)
   key = jax.random.PRNGKey(0)
   r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (CHUNK, 1))
   r_d = jax.random.normal(key, (CHUNK, 3)) * 0.1 + jnp.array([0., 0., -1.])
@@ -40,10 +51,12 @@ def main():
 
   @jax.jit
   def render(params, rays):
-    return model.apply(params, rays)["rgb"]
+    out = model.apply(params, rays)["rgb"]
+    return out, jnp.sum(out)
 
-  # warmup/compile
-  render(params, rays).block_until_ready()
+  # warmup/compile + force execution
+  _, s = render(params, rays)
+  float(s)
 
   n_rays = SIZE * SIZE
   n_chunks = (n_rays + CHUNK - 1) // CHUNK
@@ -51,13 +64,13 @@ def main():
   t0 = time.perf_counter()
   for _ in range(reps):
     for _ in range(n_chunks):
-      out = render(params, rays)
-    out.block_until_ready()
+      _, s = render(params, rays)
+      float(s)  # device->host sync: forces real execution
   dt = (time.perf_counter() - t0) / reps
   rays_per_sec = n_chunks * CHUNK / dt
 
   print(json.dumps({
-      "metric": "rays/sec/chip, 800x800 render, PlainNeRF 64 steps",
+      "metric": "rays/sec/chip, 800x800 render, PlainNeRF-CP 64 steps",
       "value": round(rays_per_sec, 1),
       "unit": "rays/s",
       "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),

@@ -49,20 +49,37 @@ class TinyNeRF(NeRFBase):
 
 
 class PlainNeRF(NeRFBase):
-  """Density MLP (hash-encoded, or IPE when mip is set) emitting sigma +
-  an intermediate feature; RGB from a pluggable reflectance model."""
+  """Density MLP emitting sigma + an intermediate feature; RGB from a
+  pluggable reflectance model.
+
+  enc_kind selects the spatial encoder: "cp" (TPU-native factorized
+  feature volumes on the MXU — the fast default), "hash" (NGP-style
+  gather grid, reference parity), "posenc" (frequency encoding); with
+  mip set, IPE features replace the encoder entirely.
+  """
   refl_kind: str = "view"
   refl_space: str = "identity"
+  enc_kind: str = "cp"
 
   def setup(self):
     # with mip, the density MLP consumes IPE features (width 2*3*16 = 96
-    # for the default cone encoding) instead of hash-encoded raw points
+    # for the default cone encoding) instead of encoded raw points
+    if self.mip is not None:
+      enc = None
+    elif self.enc_kind == "hash":
+      enc = HashEncoder()
+    elif self.enc_kind == "cp":
+      from ..nn import CPEncoder
+      enc = CPEncoder(dtype=self.dtype)
+    elif self.enc_kind == "posenc":
+      enc = PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=10)
+    else:
+      raise NotImplementedError(f"unknown enc kind {self.enc_kind}")
     self.first = SkipConnMLP(
         in_size=3 if self.mip is None else 96,
         out=1 + self.intermediate_size,
         latent_size=self.latent_size,
-        enc=None if self.mip is not None else HashEncoder(),
-        num_layers=5, hidden_size=256, dtype=self.dtype,
+        enc=enc, num_layers=5, hidden_size=256, dtype=self.dtype,
         name="density_mlp")
     self.refl = load_refl(
         self.refl_kind,

@@ -9,6 +9,7 @@ Capability parity with the reference's src/neural_blocks.py, redesigned:
 - everything is a pure function of (params, inputs) — no hidden state.
 """
 from .encoders import (
+    CPEncoder,
     FourierEncoder,
     HashEncoder,
     LearnedFourierEncoder,
@@ -21,7 +22,7 @@ from .misc import EncodedGRU, PointNet, gram_matrix, StyleLoss
 
 __all__ = [
     "PositionalEncoder", "FourierEncoder", "LearnedFourierEncoder",
-    "NNEncoder", "HashEncoder", "SkipConnMLP", "Upsampler",
+    "NNEncoder", "HashEncoder", "CPEncoder", "SkipConnMLP", "Upsampler",
     "SpatialEncoder", "Discriminator", "UpdateOperator", "EncodedGRU",
     "PointNet", "gram_matrix", "StyleLoss",
 ]

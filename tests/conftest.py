@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: XLA CPU compiles dominate test wall-clock on
+# small hosts; cache them across pytest runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
