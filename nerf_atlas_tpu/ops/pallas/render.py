@@ -45,7 +45,7 @@ INTERMEDIATE = 32
 R_HIDDEN = 128
 R_LAYERS = 5
 
-DEFAULT_BLOCK_RAYS = 128
+DEFAULT_BLOCK_RAYS = 32
 
 
 def _dot(a, b):
@@ -56,7 +56,7 @@ def _dot(a, b):
 
 
 def _leaky_relu(x):
-  return jnp.where(x >= 0, x, 0.01 * x)
+  return jnp.where(x >= 0, x, 0.01 * x).astype(jnp.bfloat16)
 
 
 def _thin_sigmoid(v, eps: float = 1e-2):
@@ -131,7 +131,7 @@ def _render_kernel(rays_ref, elaz_ref, *refs, steps, t_near, t_far,
   r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1)  # [P, 5+32]
 
   def sin_act(x):
-    return jnp.sin(30.0 * x)
+    return jnp.sin(30.0 * x).astype(jnp.bfloat16)
 
   h = sin_act(dense(r_in))
   for i in range(R_LAYERS):

@@ -54,6 +54,8 @@ class TrainConfig:
   log_freq: int = 50
   duration_sec: float = 0.0
   use_mesh: bool = False
+  train_camera: bool = False   # optimize camera extrinsics jointly
+  profile_dir: Optional[str] = None
 
 
 def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
@@ -70,18 +72,29 @@ def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
 
 def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
                     extra_kwargs: Optional[dict] = None):
-  """Build the jitted train step (params, opt_state, key) -> ... ."""
+  """Build the jitted train step (params, opt_state, key) -> ... .
+
+  With cfg.train_camera, `params` is {"model": ..., "camera": <pytree>}
+  and rays regenerate from the trainable camera each step (the analog of
+  `--train-parts camera`).
+  """
   extra = dict(extra_kwargs or {})
 
   def step(params, opt_state, key):
     k1, k2 = jax.random.split(key)
-    rays, pix, t = ds.sample_rays(k1, cfg.batch_size)
 
     def compute_loss(p):
+      if cfg.train_camera:
+        ds_p = ds.replace(camera=p["camera"])
+        model_params = p["model"]
+      else:
+        ds_p, model_params = ds, p
+      rays, pix, t = ds_p.sample_rays(k1, cfg.batch_size)
       kwargs = dict(extra)
       if t is not None:
         kwargs["times"] = t
-      out = model.apply(p, rays, train=True, rngs={"sampler": k2}, **kwargs)
+      out = model.apply(model_params, rays, train=True,
+                        rngs={"sampler": k2}, **kwargs)
       pred = out["rgb"]
       main = loss_fn(pred, pix)
       if "coarse_rgb" in out:  # hierarchical: supervise both passes
@@ -112,37 +125,50 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
       grad_clip=cfg.grad_clip, accum_steps=cfg.accum_steps)
   if params is None:
     params = init_model(model, ds, cfg.seed, extra_kwargs)
+  if cfg.train_camera:
+    params = {"model": params, "camera": ds.camera}
   opt_state = tx.init(params)
   step_fn = make_train_step(model, ds, loss_fn, tx, cfg, extra_kwargs)
 
+  from ..utils.profiling import step_timer, trace
+  timer = step_timer()
   key = jax.random.PRNGKey(cfg.seed + 1234)
   history = []
   start = time.time()
-  for i in range(cfg.steps):
-    key, k = jax.random.split(key)
-    params, opt_state, metrics = step_fn(params, opt_state, k)
-    if (i + 1) % cfg.log_freq == 0 or i == 0:
-      m = {k2: float(v) for k2, v in metrics.items()}
-      m["step"] = i + 1
-      m["psnr"] = float(losses_lib.mse2psnr(m["mse"]))
-      history.append(m)
-      if callback:
-        callback(m)
-    if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
-      checkpoints.save(cfg.save_path, params, config=config_dict,
-                       step=i + 1, versioned=cfg.versioned_save)
-    if cfg.duration_sec and time.time() - start > cfg.duration_sec:
-      break
+  with trace(cfg.profile_dir):
+    for i in range(cfg.steps):
+      key, k = jax.random.split(key)
+      params, opt_state, metrics = step_fn(params, opt_state, k)
+      timer.tick()
+      if (i + 1) % cfg.log_freq == 0 or i == 0:
+        m = {k2: float(v) for k2, v in metrics.items()}
+        m["step"] = i + 1
+        m["psnr"] = float(losses_lib.mse2psnr(m["mse"]))
+        m["steps_per_sec"] = timer.steps_per_sec
+        history.append(m)
+        if callback:
+          callback(m)
+      if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
+        checkpoints.save(cfg.save_path, params, config=config_dict,
+                         step=i + 1, versioned=cfg.versioned_save)
+      if cfg.duration_sec and time.time() - start > cfg.duration_sec:
+        break
   if cfg.save_freq:
     checkpoints.save(cfg.save_path, params, config=config_dict,
                      step=cfg.steps)
+  if cfg.train_camera:
+    return params["model"], opt_state, history
   return params, opt_state, history
 
 
 def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
                 render_size: Optional[int] = None, chunk: int = 65536,
-                extra_kwargs: Optional[dict] = None, time_val=None):
-  """Tiled no-grad rendering of one full view -> [S, S, 3]."""
+                extra_kwargs: Optional[dict] = None, time_val=None,
+                mode: str = "rgb"):
+  """Tiled no-grad rendering of one full view -> [S, S, C].
+
+  mode: "rgb" | "depth" (expected termination depth) | "acc" (opacity).
+  """
   rs = render_size or ds.size
   rays = ds.view_rays(view, rs)
   n = rays.shape[0]
@@ -153,7 +179,13 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
     kwargs = dict(extra)
     if t_chunk is not None:
       kwargs["times"] = t_chunk
-    return model.apply(params, rs_chunk, **kwargs)["rgb"]
+    out = model.apply(params, rs_chunk, **kwargs)
+    if mode == "depth":
+      from ..ops import integrate
+      return integrate.depth_from_weights(out["weights"], out["ts"])
+    if mode == "acc":
+      return jnp.sum(out["weights"], axis=-1, keepdims=True)
+    return out["rgb"]
 
   t = None
   if time_val is not None:
@@ -176,14 +208,23 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
 def test(model, params, ds: sampler_lib.RayDataset,
          out_dir: str = "outputs", render_size: Optional[int] = None,
          with_ssim: bool = False, save_images: bool = True,
-         extra_kwargs: Optional[dict] = None):
-  """Per-view PSNR + summary stats; writes results.txt + test_###.png."""
+         extra_kwargs: Optional[dict] = None, save_depth: bool = False):
+  """Per-view PSNR + summary stats; writes results.txt + test_###.png
+  (+ depth_###.png with save_depth — reference runner.py:879-920)."""
   os.makedirs(out_dir, exist_ok=True)
   psnrs, ssims = [], []
   lines = []
   for v in range(ds.num_views):
     img = render_view(model, params, ds, v, render_size,
                       extra_kwargs=extra_kwargs)
+    if save_depth:
+      import imageio.v2 as imageio
+      d = render_view(model, params, ds, v, render_size,
+                      extra_kwargs=extra_kwargs, mode="depth")[..., 0]
+      dmin, dmax = float(d.min()), float(d.max())
+      dn = (d - dmin) / max(dmax - dmin, 1e-6)
+      imageio.imwrite(os.path.join(out_dir, f"depth_{v:03d}.png"),
+                      (dn * 255).astype(np.uint8))
     ref = np.asarray(ds.pixels[v])[..., :3]
     if img.shape[:2] != ref.shape[:2]:
       import cv2
@@ -212,6 +253,27 @@ def test(model, params, ds: sampler_lib.RayDataset,
     f.write("\n".join(lines) + "\n")
   return {"psnr_mean": float(arr.mean()), "psnr_median": float(np.median(arr)),
           "psnrs": psnrs, "ssims": ssims, "summary": summary}
+
+
+def plot_history(history, out_path: str, window: int = 50):
+  """Smoothed loss curve PNG (reference runner.py:540-550)."""
+  import matplotlib
+  matplotlib.use("Agg")
+  import matplotlib.pyplot as plt
+  steps = [h["step"] for h in history]
+  losses = [h["loss"] for h in history]
+  smooth = np.convolve(losses, np.ones(min(window, len(losses)))
+                       / min(window, len(losses)), mode="valid")
+  fig, ax = plt.subplots(figsize=(6, 3.5))
+  ax.plot(steps, losses, alpha=0.3, label="loss")
+  ax.plot(steps[len(steps) - len(smooth):], smooth, label="smoothed")
+  ax.set_xlabel("step")
+  ax.set_yscale("log")
+  ax.legend()
+  fig.tight_layout()
+  os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+  fig.savefig(out_path, dpi=100)
+  plt.close(fig)
 
 
 def render_over_time(model, params, ds: sampler_lib.RayDataset,

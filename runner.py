@@ -128,6 +128,8 @@ def arguments():
                  help="eval render chunk (0 = whole image)")
   a.add_argument("--render-size", type=int, default=0,
                  help="eval render resolution (0 = dataset size)")
+  a.add_argument("--depth-images", action="store_true",
+                 help="save normalized depth maps at test time")
   a.add_argument("--msssim-loss", action="store_true",
                  help="also report SSIM at test time")
   a.add_argument("--render-over-time", type=int, default=-1,
@@ -139,7 +141,22 @@ def arguments():
   # parallelism
   a.add_argument("--mesh-devices", type=int, default=0,
                  help="devices in the data mesh (0 = all)")
-  return a.parse_args()
+
+  # meta
+  a.add_argument("--param-file", default=None,
+                 help="JSON hyper-parameter file (overrides defaults)")
+  a.add_argument("--train-parts", nargs="+", default=["all"],
+                 choices=["all", "camera", "refl"],
+                 help="which parameter groups to optimize")
+  a.add_argument("--profile-dir", default=None,
+                 help="capture a jax.profiler trace of the train loop")
+  a.add_argument("--loss-window", type=int, default=50,
+                 help="smoothing window for the loss plot")
+  args = a.parse_args()
+  if args.param_file:
+    from nerf_atlas_tpu.utils import load_param_file
+    load_param_file(args.param_file).apply_to_args(args)
+  return args
 
 
 def build_model(args, dynamic: bool):
@@ -237,7 +254,9 @@ def main():
       valid_freq=args.valid_freq, save_freq=args.save_freq,
       versioned_save=args.versioned_save,
       save_path=args.save or os.path.join(args.outdir, "model.ckpt"),
-      duration_sec=args.duration_sec)
+      duration_sec=args.duration_sec,
+      train_camera="camera" in args.train_parts,
+      profile_dir=args.profile_dir)
 
   config_dict = {**vars(args), "argv": sys.argv,
                  "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
@@ -258,6 +277,9 @@ def main():
     params, _, history = driver.train(model, ds, cfg, params=params,
                                       config_dict=config_dict,
                                       callback=log_cb)
+    if history:
+      driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
+                          window=args.loss_window)
   elif params is None:
     params = driver.init_model(model, ds, cfg.seed)
 
@@ -265,7 +287,8 @@ def main():
   if not args.notraintest:
     results["train"] = driver.test(
         model, params, ds, out_dir=os.path.join(args.outdir, "train"),
-        render_size=args.render_size or None, with_ssim=args.msssim_loss)
+        render_size=args.render_size or None, with_ssim=args.msssim_loss,
+        save_depth=args.depth_images)
     print("[train]", results["train"]["summary"])
   if not args.notest:
     tb = load(args.data, data_kind=args.data_kind, training=False,
@@ -273,7 +296,8 @@ def main():
     tds = sampler.RayDataset.from_bundle(tb, size=args.size)
     results["test"] = driver.test(
         model, params, tds, out_dir=os.path.join(args.outdir, "test"),
-        render_size=args.render_size or None, with_ssim=args.msssim_loss)
+        render_size=args.render_size or None, with_ssim=args.msssim_loss,
+        save_depth=args.depth_images)
     print("[test]", results["test"]["summary"])
 
   if args.render_over_time >= 0 and dynamic:

