@@ -49,14 +49,30 @@ def main():
                        "sampler": jax.random.PRNGKey(1)}, rays[:256],
                       train=True)
 
+  from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
+
   @jax.jit
   def render(params, rays):
+    out = fused_plain_cp_render(params, rays, steps=STEPS, t_near=2.0,
+                                t_far=6.0)[:, :3]
+    return out, jnp.sum(out)
+
+  @jax.jit
+  def render_xla(params, rays):
     out = model.apply(params, rays)["rgb"]
     return out, jnp.sum(out)
 
-  # warmup/compile + force execution
-  _, s = render(params, rays)
-  float(s)
+  # warmup/compile + force execution; fall back to the pure-XLA path if
+  # the fused kernel cannot compile on this backend
+  try:
+    _, s = render(params, rays)
+    float(s)
+  except Exception as e:  # noqa: BLE001
+    print(f"# fused kernel unavailable ({type(e).__name__}); XLA path",
+          flush=True)
+    render = render_xla
+    _, s = render(params, rays)
+    float(s)
 
   n_rays = SIZE * SIZE
   n_chunks = (n_rays + CHUNK - 1) // CHUNK

@@ -42,14 +42,18 @@ class RayDataset:
   def num_views(self) -> int:
     return self.pixels.shape[0]
 
-  def sample_rays(self, key, batch_size: int, jitter: float = 0.0):
+  def sample_rays(self, key, batch_size: int, jitter: float = 0.0,
+                  view_range: Optional[Tuple[int, int]] = None):
     """Uniform random rays over all views and pixels.
 
+    view_range=(lo, hi) restricts sampling to views [lo, hi) — used by
+    progressive long-video training to train one time window at a time.
     Returns (rays [B, 6], pix [B, C], times [B] | None).
     """
     k1, k2, k3 = jax.random.split(key, 3)
     n, s = self.num_views, self.size
-    view = jax.random.randint(k1, (batch_size,), 0, n)
+    lo, hi = view_range if view_range is not None else (0, n)
+    view = jax.random.randint(k1, (batch_size,), lo, hi)
     xy = jax.random.randint(k2, (batch_size, 2), 0, s)
     pix = self.pixels[view, xy[:, 1], xy[:, 0]]
     rays = self.camera.rays_at(view, (xy + 0.5).astype(jnp.float32), s,

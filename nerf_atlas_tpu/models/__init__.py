@@ -32,6 +32,7 @@ MODEL_KINDS.update({
     "pixel-single": SinglePixelNeRF,
 })
 
+from .upsample import NeuralUpsampled
 from .dyn import DYN_MODEL_KINDS, DynamicNeRF, DynamicNeRFAE, LongDynamicNeRF
 
 DYN_MODEL_KINDS = dict(DYN_MODEL_KINDS)
@@ -61,6 +62,6 @@ __all__ = [
     "load_model", "load_dyn_model", "load_sdf_shape", "NeRFVoxel",
     "DynamicNeRFVoxel", "upsample_params", "MPI", "RigNeRF",
     "DynamicRigNeRF", "SplineNeRF", "HistogramNeRF", "BendyNeRF",
-    "RecurrentNeRF", "SinglePixelNeRF", "DynamicNeRF", "DynamicNeRFAE",
+    "RecurrentNeRF", "SinglePixelNeRF", "NeuralUpsampled", "DynamicNeRF", "DynamicNeRFAE",
     "LongDynamicNeRF",
 ]

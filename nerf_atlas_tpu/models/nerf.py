@@ -60,6 +60,7 @@ class PlainNeRF(NeRFBase):
   refl_kind: str = "view"
   refl_space: str = "identity"
   enc_kind: str = "cp"
+  refl_kwargs: Any = None
 
   def setup(self):
     # with mip, the density MLP consumes IPE features (width 2*3*16 = 96
@@ -84,7 +85,8 @@ class PlainNeRF(NeRFBase):
     self.refl = load_refl(
         self.refl_kind,
         latent_size=self.intermediate_size + self.latent_size,
-        act=self.sigmoid_kind, space=self.refl_space)
+        act=self.sigmoid_kind, space=self.refl_space,
+        **(self.refl_kwargs or {}))
 
   def query(self, pts, view=None, latent=None, train: bool = False,
             mip_feats=None):

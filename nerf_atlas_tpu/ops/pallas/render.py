@@ -45,7 +45,7 @@ INTERMEDIATE = 32
 R_HIDDEN = 128
 R_LAYERS = 5
 
-DEFAULT_BLOCK_RAYS = 32
+DEFAULT_BLOCK_RAYS = 64
 
 
 def _dot(a, b):
@@ -201,7 +201,10 @@ def fused_plain_cp_render(params, rays, *, steps: int = 64,
   """
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
-  ws = _flatten_params(params)
+  # pre-cast matmul weights to bf16 on the host: casting 256x256 kernels
+  # inside every grid program costs more VPU time than the matmuls save
+  ws = [w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in _flatten_params(params)]
 
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])          # [N, 2] host-side math

@@ -71,14 +71,22 @@ def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
 
 
 def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
-                    extra_kwargs: Optional[dict] = None):
+                    extra_kwargs: Optional[dict] = None, mesh=None):
   """Build the jitted train step (params, opt_state, key) -> ... .
 
   With cfg.train_camera, `params` is {"model": ..., "camera": <pytree>}
   and rays regenerate from the trainable camera each step (the analog of
   `--train-parts camera`).
+
+  With `mesh`, the sampled ray batch is sharding-constrained over the
+  `data` axis: params stay replicated and XLA partitions the whole
+  forward/backward over chips, inserting the gradient all-reduce.
   """
   extra = dict(extra_kwargs or {})
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec
+    batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+    assert cfg.batch_size % mesh.size == 0, (cfg.batch_size, mesh.size)
 
   def step(params, opt_state, key):
     k1, k2 = jax.random.split(key)
@@ -90,6 +98,11 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
       else:
         ds_p, model_params = ds, p
       rays, pix, t = ds_p.sample_rays(k1, cfg.batch_size)
+      if mesh is not None:
+        rays = jax.lax.with_sharding_constraint(rays, batch_sharding)
+        pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
+        if t is not None:
+          t = jax.lax.with_sharding_constraint(t, batch_sharding)
       kwargs = dict(extra)
       if t is not None:
         kwargs["times"] = t
@@ -128,7 +141,12 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   if cfg.train_camera:
     params = {"model": params, "camera": ds.camera}
   opt_state = tx.init(params)
-  step_fn = make_train_step(model, ds, loss_fn, tx, cfg, extra_kwargs)
+  mesh = None
+  if cfg.use_mesh and jax.device_count() > 1:
+    from ..parallel import make_mesh
+    mesh = make_mesh()
+  step_fn = make_train_step(model, ds, loss_fn, tx, cfg, extra_kwargs,
+                            mesh=mesh)
 
   from ..utils.profiling import step_timer, trace
   timer = step_timer()
@@ -151,6 +169,8 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
       if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
         checkpoints.save(cfg.save_path, params, config=config_dict,
                          step=i + 1, versioned=cfg.versioned_save)
+      if cfg.valid_freq and (i + 1) % cfg.valid_freq == 0:
+        _save_valid_image(model, params, ds, cfg, i + 1, extra_kwargs)
       if cfg.duration_sec and time.time() - start > cfg.duration_sec:
         break
   if cfg.save_freq:
@@ -158,6 +178,82 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
                      step=cfg.steps)
   if cfg.train_camera:
     return params["model"], opt_state, history
+  return params, opt_state, history
+
+
+def _save_valid_image(model, params, ds, cfg, step, extra_kwargs=None):
+  """Periodic validation render of view 0 (reference runner.py:832-842)."""
+  try:
+    import imageio.v2 as imageio
+    p = params["model"] if cfg.train_camera else params
+    img = render_view(model, p, ds, 0, min(ds.size, 64),
+                      extra_kwargs=extra_kwargs)
+    out_dir = os.path.dirname(cfg.save_path) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    imageio.imwrite(os.path.join(out_dir, f"valid_{step:06d}.png"),
+                    (np.clip(img[..., :3], 0, 1) * 255).astype(np.uint8))
+  except Exception as e:  # noqa: BLE001 — validation must never kill training
+    print(f"[valid] skipped: {e}")
+
+
+def train_progressive(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
+                      segments: int = 4, params=None,
+                      config_dict: Optional[dict] = None,
+                      callback: Optional[Callable] = None):
+  """Progressive long-video training (reference runner.py:1293-1309):
+  train each time window (views are time-sorted for video data) in turn,
+  carrying parameters forward; cfg.steps is per segment."""
+  n = ds.num_views
+  history = []
+  opt_state = None
+  for s in range(segments):
+    lo = (s * n) // segments
+    hi = max(((s + 1) * n) // segments, lo + 1)
+    loss_fn = losses_lib.load_loss_fn(cfg.loss_kinds, cfg.color_spaces,
+                                      cfg.tone_map, cfg.gamma_correct)
+    tx = optim_lib.load_optimizer(
+        cfg.opt_kind, cfg.learning_rate, total_steps=cfg.steps,
+        sched_min=cfg.sched_min, no_sched=cfg.no_sched,
+        grad_clip=cfg.grad_clip, accum_steps=cfg.accum_steps)
+    if params is None:
+      params = init_model(model, ds, cfg.seed)
+    opt_state = tx.init(params)
+
+    def step_fn_builder():
+      def step(params, opt_state, key):
+        k1, k2 = jax.random.split(key)
+        rays, pix, t = ds.sample_rays(k1, cfg.batch_size,
+                                      view_range=(lo, hi))
+
+        def compute_loss(p):
+          kwargs = {} if t is None else {"times": t}
+          out = model.apply(p, rays, train=True, rngs={"sampler": k2},
+                            **kwargs)
+          main = loss_fn(out["rgb"], pix)
+          return main + total_regularizer(out, cfg.reg_coeffs), main
+
+        (loss, main), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        import optax
+        return (optax.apply_updates(params, updates), opt_state2,
+                {"loss": loss, "mse": main})
+      return jax.jit(step, donate_argnums=(0, 1))
+
+    step_fn = step_fn_builder()
+    key = jax.random.PRNGKey(cfg.seed + 99 + s)
+    for i in range(cfg.steps):
+      key, k = jax.random.split(key)
+      params, opt_state, metrics = step_fn(params, opt_state, k)
+      if (i + 1) % cfg.log_freq == 0:
+        m = {k2: float(v) for k2, v in metrics.items()}
+        m.update(step=i + 1, segment=s)
+        history.append(m)
+        if callback:
+          callback(m)
+  if cfg.save_freq:
+    checkpoints.save(cfg.save_path, params, config=config_dict,
+                     step=segments * cfg.steps)
   return params, opt_state, history
 
 
@@ -234,7 +330,7 @@ def test(model, params, ds: sampler_lib.RayDataset,
     psnrs.append(p)
     line = f"view {v:03d}: PSNR {p:.3f}"
     if with_ssim:
-      s = float(losses_lib.ssim(jnp.asarray(img[..., :3]),
+      s = float(losses_lib.ms_ssim(jnp.asarray(img[..., :3]),
                                 jnp.asarray(ref)))
       ssims.append(s)
       line += f"  SSIM {s:.4f}"

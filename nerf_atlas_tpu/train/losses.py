@@ -76,6 +76,36 @@ def ssim_loss(x, ref):
   return 1.0 - ssim(x, ref)
 
 
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _downsample2(img):
+  """2x average-pool over [..., H, W, C]."""
+  h, w = img.shape[-3] // 2, img.shape[-2] // 2
+  img = img[..., : h * 2, : w * 2, :]
+  s = img.shape
+  img = img.reshape(s[:-3] + (h, 2, w, 2, s[-1]))
+  return img.mean(axis=(-4, -2))
+
+
+def ms_ssim(x, ref, *, max_val: float = 1.0, levels: int = 5):
+  """Multi-scale SSIM over [..., H, W, C] (standard 5-level weights;
+  levels shrink automatically for small images)."""
+  h = min(x.shape[-3], x.shape[-2])
+  usable = 1
+  while usable < levels and (h >> usable) >= 11:
+    usable += 1
+  weights = jnp.asarray(_MSSSIM_WEIGHTS[:usable])
+  weights = weights / weights.sum()
+  total = 1.0
+  for i in range(usable):
+    s = ssim(x, ref, max_val=max_val)
+    total = total * jnp.maximum(s, 1e-6) ** weights[i]
+    if i + 1 < usable:
+      x, ref = _downsample2(x), _downsample2(ref)
+  return total
+
+
 LOSS_KINDS = {
     "l2": l2,
     "l1": l1,

@@ -53,6 +53,11 @@ def arguments():
   a.add_argument("--spline", type=int, default=0,
                  help="spline control points for dynamic models (0=direct)")
   a.add_argument("--long-vid-segments", type=int, default=4)
+  a.add_argument("--long-vid-progressive-train", action="store_true",
+                 help="train time windows sequentially (per-segment)")
+  a.add_argument("--neural-upsample", action="store_true",
+                 help="render low-res and neurally upsample")
+  a.add_argument("--upsample-low-res", type=int, default=16)
 
   # reflectance / shading
   a.add_argument("--refl-kind", default="view",
@@ -60,6 +65,9 @@ def arguments():
                           "basic", "diffuse", "cook-torrance", "rusin",
                           "rusin-helmholtz", "sph-har", "fourier",
                           "weighted", "alternating"])
+  a.add_argument("--weighted-subrefl-kinds", nargs="+",
+                 default=["diffuse", "rusin"],
+                 help="sub-BRDFs for --refl-kind weighted")
   a.add_argument("--space-kind", default="identity",
                  choices=["identity", "surface", "none"])
   a.add_argument("--light-kind", default=None,
@@ -171,6 +179,9 @@ def build_model(args, dynamic: bool):
     kwargs["refl_kind"] = args.refl_kind
     if kind == "plain":
       kwargs["mip"] = args.mip
+      if args.refl_kind == "weighted":
+        kwargs["refl_kwargs"] = {
+            "subrefl_kinds": tuple(args.weighted_subrefl_kinds)}
   elif kind == "ae":
     kwargs["refl_kind"] = args.refl_kind
   elif kind == "volsdf":
@@ -198,12 +209,15 @@ def build_model(args, dynamic: bool):
                                       if v is not None or k == "mip"})
 
   dyn_kwargs = dict(common)
+  # only reflectance-bearing canonical models accept refl_kind
+  canon_kwargs = ({"refl_kind": args.refl_kind}
+                  if kind not in ("tiny", "mpi", "voxel") else {})
   if args.dyn_model == "plain":
     dyn_kwargs.update(canonical_kind=kind, spline_points=args.spline,
-                      canonical_kwargs={"refl_kind": args.refl_kind})
+                      canonical_kwargs=canon_kwargs)
   elif args.dyn_model == "long":
     dyn_kwargs.update(canonical_kind=kind, segments=args.long_vid_segments,
-                      canonical_kwargs={"refl_kind": args.refl_kind})
+                      canonical_kwargs=canon_kwargs)
   elif args.dyn_model == "voxel":
     dyn_kwargs.update(resolution=args.voxel_resolution,
                       spline_points=max(args.spline, 2))
@@ -256,7 +270,8 @@ def main():
       save_path=args.save or os.path.join(args.outdir, "model.ckpt"),
       duration_sec=args.duration_sec,
       train_camera="camera" in args.train_parts,
-      profile_dir=args.profile_dir)
+      profile_dir=args.profile_dir,
+      use_mesh=args.mesh_devices != 1)
 
   config_dict = {**vars(args), "argv": sys.argv,
                  "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
@@ -272,11 +287,17 @@ def main():
 
   if args.epochs > 0:
     def log_cb(m):
+      psnr = m.get("psnr", -10 * np.log10(max(m.get("mse", 1e-10), 1e-10)))
       print(f"step {m['step']:6d}  loss {m['loss']:.5f}  "
-            f"psnr {m['psnr']:.2f}  ({time.time() - t0:.0f}s)")
-    params, _, history = driver.train(model, ds, cfg, params=params,
-                                      config_dict=config_dict,
-                                      callback=log_cb)
+            f"psnr {psnr:.2f}  ({time.time() - t0:.0f}s)")
+    if args.long_vid_progressive_train and dynamic:
+      params, _, history = driver.train_progressive(
+          model, ds, cfg, segments=args.long_vid_segments, params=params,
+          config_dict=config_dict, callback=log_cb)
+    else:
+      params, _, history = driver.train(model, ds, cfg, params=params,
+                                        config_dict=config_dict,
+                                        callback=log_cb)
     if history:
       driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
                           window=args.loss_window)

@@ -108,3 +108,45 @@ def test_entry_compiles():
   out = jax.jit(fn)(params, rays)
   assert out.shape == (rays.shape[0], 3)
   assert jnp.isfinite(out).all()
+
+
+def test_driver_train_with_mesh():
+  """Mesh-sharded training step on the virtual 8-device mesh."""
+  bundle = loaders.synthetic_spheres(size=16, num_views=2)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.TinyNeRF(steps=8, t_near=1.5, t_far=4.5)
+  cfg = driver.TrainConfig(steps=6, batch_size=256, log_freq=2,
+                           save_freq=0, use_mesh=True)
+  params, _, history = driver.train(model, ds, cfg)
+  assert history and np.isfinite(history[-1]["loss"])
+
+
+def test_driver_train_camera():
+  """Joint camera-extrinsics optimization (--train-parts camera)."""
+  bundle = loaders.synthetic_spheres(size=16, num_views=2)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.TinyNeRF(steps=8, t_near=1.5, t_far=4.5)
+  cfg = driver.TrainConfig(steps=6, batch_size=128, log_freq=2,
+                           save_freq=0, train_camera=True)
+  params, _, history = driver.train(model, ds, cfg)
+  assert history and np.isfinite(history[-1]["loss"])
+
+
+def test_hyper_config():
+  from nerf_atlas_tpu.utils import HyperParameters
+  hp = HyperParameters({"model": {"steps": 32}, "learning_rate": 1e-3})
+  assert hp.get("model.steps", int) == 32
+  assert hp.get("missing.key", float, 7.0) == 7.0
+
+  class A:
+    learning_rate = 5e-4
+  a = A()
+  hp.apply_to_args(a)
+  assert a.learning_rate == 1e-3
+
+
+def test_plot_history(tmp_path):
+  hist = [{"step": i, "loss": 1.0 / (i + 1)} for i in range(20)]
+  out = str(tmp_path / "loss.png")
+  driver.plot_history(hist, out, window=5)
+  assert os.path.exists(out)

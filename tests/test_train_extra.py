@@ -1,0 +1,60 @@
+"""Newer training features: MS-SSIM, progressive training, view-range
+sampling, neural upsampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_atlas_tpu import models
+from nerf_atlas_tpu.data import loaders, sampler
+from nerf_atlas_tpu.train import driver, losses
+
+
+def test_ms_ssim_identity_and_order():
+  img = jax.random.uniform(jax.random.PRNGKey(0), (1, 48, 48, 3))
+  assert float(losses.ms_ssim(img, img)) > 0.999
+  noisy = img + 0.2 * jax.random.normal(jax.random.PRNGKey(1), img.shape)
+  assert float(losses.ms_ssim(img, noisy)) < float(losses.ms_ssim(img, img))
+
+
+def test_sampler_view_range():
+  bundle = loaders.synthetic_spheres(size=16, num_views=6)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  # restrict to views [2, 4): returned pixels must match those views only
+  rays, pix, _ = ds.sample_rays(jax.random.PRNGKey(0), 64, view_range=(2, 4))
+  # check every sampled ray origin equals view 2's or 3's camera center
+  centers = np.asarray(ds.camera.cam_to_world[:, :3, 3])
+  d = np.linalg.norm(np.asarray(rays[:, None, :3]) - centers[None], axis=-1)
+  nearest = d.argmin(axis=1)
+  assert set(np.unique(nearest)) <= {2, 3}
+
+
+def test_train_progressive():
+  (imgs, times), cam, _ = __import__(
+      "nerf_atlas_tpu.data.synthetic", fromlist=["dataset"]).dataset(
+          num_views=6, size=16, dynamic=True)
+  bundle = loaders.DatasetBundle((imgs, times), cam, None)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.load_dyn_model("plain", steps=8, t_near=1.5, t_far=4.5,
+                                spline_points=0, with_rigidity=False,
+                                canonical_kwargs={"steps": 8})
+  cfg = driver.TrainConfig(steps=4, batch_size=128, log_freq=2,
+                           save_freq=0)
+  params, _, history = driver.train_progressive(model, ds, cfg, segments=2)
+  assert history and all(np.isfinite(h["loss"]) for h in history)
+  segs = {h["segment"] for h in history}
+  assert segs == {0, 1}
+
+
+def test_neural_upsampled_model():
+  model = models.NeuralUpsampled(low_res=8, out_res=16, steps=8,
+                                 t_near=1.5, t_far=4.5,
+                                 canonical_kind="tiny")
+  bundle = loaders.synthetic_spheres(size=16, num_views=2)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  rays_full = ds.view_rays(0, 8).reshape(1, 8, 8, 6)
+  rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+  params = model.init(rngs, rays_full, train=True)
+  out = model.apply(params, rays_full, train=True,
+                    rngs={"sampler": jax.random.PRNGKey(2)})
+  assert out["rgb"].shape == (1, 16, 16, 3)
+  assert bool(jnp.isfinite(out["rgb"]).all())
