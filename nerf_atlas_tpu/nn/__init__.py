@@ -18,11 +18,12 @@ from .encoders import (
 )
 from .mlp import SkipConnMLP
 from .conv import Discriminator, SpatialEncoder, UpdateOperator, Upsampler
-from .misc import EncodedGRU, PointNet, gram_matrix, StyleLoss
+from .misc import (EncodedGRU, MonteCarloUncertainty, PointNet,
+                   StyleLoss, gram_matrix)
 
 __all__ = [
     "PositionalEncoder", "FourierEncoder", "LearnedFourierEncoder",
     "NNEncoder", "HashEncoder", "CPEncoder", "SkipConnMLP", "Upsampler",
     "SpatialEncoder", "Discriminator", "UpdateOperator", "EncodedGRU",
-    "PointNet", "gram_matrix", "StyleLoss",
+    "PointNet", "gram_matrix", "StyleLoss", "MonteCarloUncertainty",
 ]

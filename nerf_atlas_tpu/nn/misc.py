@@ -90,3 +90,27 @@ class StyleLoss(nn.Module):
       gs = jax.lax.stop_gradient(gram_matrix(hs))
       loss = loss + jnp.mean(jnp.square(g - gs))
     return loss
+
+
+class MonteCarloUncertainty(nn.Module):
+  """Prediction uncertainty via Monte-Carlo dropout on a linear head
+  (working version of the reference's broken MonteCarloBNLinear,
+  src/neural_blocks.py:700-715): run `samples` stochastic forward passes
+  and return (mean, std)."""
+  features: int = 3
+  samples: int = 8
+  rate: float = 0.2
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x, *, rng=None):
+    dense = nn.Dense(self.features, dtype=self.dtype)
+    if rng is None:
+      rng = self.make_rng("sampler")
+    keys = jax.random.split(rng, self.samples)
+    outs = []
+    for i in range(self.samples):
+      mask = jax.random.bernoulli(keys[i], 1 - self.rate, x.shape)
+      outs.append(dense(x * mask / (1 - self.rate)))
+    stacked = jnp.stack(outs, 0)
+    return stacked.mean(0), stacked.std(0)

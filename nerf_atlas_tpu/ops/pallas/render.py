@@ -94,8 +94,10 @@ def _render_kernel(rays_ref, elaz_ref, *refs, steps, t_near, t_far,
          ).reshape(P, 3)
 
   # ---- CP encoder ----
-  enc_parts = []
+  # (A packed block-diagonal single-matmul variant was measured neutral at
+  # best and costs the VMEM that lets BR=64 fit — per-level thin dots win.)
   xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)    # bbox [-1, 1]
+  enc_parts = []
   for R in CP_RESOLUTIONS:
     lines = next_w()[...]                       # [3, R, K]
     level = None

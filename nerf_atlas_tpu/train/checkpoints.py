@@ -93,11 +93,25 @@ def graft(fresh: Any, saved: Any) -> Tuple[Any, list, list]:
   return merge(fresh, saved, ""), restored, skipped
 
 
-def restore_or_graft(path: str, fresh_params):
+def restore_or_graft(path: str, fresh_params, replace=()):
   """Load `path` and graft onto `fresh_params`; tolerant of structure
-  drift (the surgery path). Returns (params, info dict)."""
+  drift (the surgery path). `replace` names submodule keys to re-init
+  even when the checkpoint matches (the `--replace refl/occ/sky/...`
+  analog: any subtree whose key contains one of the names keeps its
+  fresh init). Returns (params, info dict)."""
   raw = load(path)
   saved = raw.get("params", raw)
+  if replace:
+    saved = _drop_subtrees(saved, tuple(replace))
   merged, restored, skipped = graft(fresh_params, saved)
   return merged, {"restored": restored, "skipped": skipped,
                   "step": int(raw.get("step", 0))}
+
+
+def _drop_subtrees(tree, names: Tuple[str, ...]):
+  """Remove dict subtrees whose key matches any of `names`."""
+  if not isinstance(tree, dict):
+    return tree
+  return {k: _drop_subtrees(v, names)
+          for k, v in tree.items()
+          if not any(n in k for n in names)}

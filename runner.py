@@ -129,6 +129,9 @@ def arguments():
   a.add_argument("--save-freq", type=int, default=1000)
   a.add_argument("--versioned-save", action="store_true")
   a.add_argument("--load", default=None, help="checkpoint to restore/graft")
+  a.add_argument("--replace", nargs="+", default=[],
+                 help="submodule names to re-init on load (surgery), e.g. "
+                      "refl sky_mlp occ")
   a.add_argument("--save", default=None, help="checkpoint path")
   a.add_argument("--notest", action="store_true")
   a.add_argument("--notraintest", action="store_true")
@@ -281,7 +284,8 @@ def main():
   params = None
   if args.load:
     fresh = driver.init_model(model, ds, cfg.seed)
-    params, info = checkpoints.restore_or_graft(args.load, fresh)
+    params, info = checkpoints.restore_or_graft(args.load, fresh,
+                                                replace=args.replace)
     print(f"[load] restored {len(info['restored'])} tensors, "
           f"re-initialized {len(info['skipped'])} (step {info['step']})")
 

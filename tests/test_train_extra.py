@@ -58,3 +58,35 @@ def test_neural_upsampled_model():
                     rngs={"sampler": jax.random.PRNGKey(2)})
   assert out["rgb"].shape == (1, 16, 16, 3)
   assert bool(jnp.isfinite(out["rgb"]).all())
+
+
+def test_replace_surgery_reinits_named_subtree(tmp_path):
+  from nerf_atlas_tpu.train import checkpoints
+  model = models.PlainNeRF(steps=8)
+  rays = jnp.concatenate([jnp.zeros((4, 3)),
+                          jnp.tile(jnp.array([[0, 0, -1.0]]), (4, 1))], -1)
+  rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+  params = model.init(rngs, rays, train=True)
+  p = checkpoints.save(str(tmp_path / "m.ckpt"), params)
+  fresh = model.init({"params": jax.random.PRNGKey(7),
+                      "sampler": jax.random.PRNGKey(8)}, rays, train=True)
+  merged, info = checkpoints.restore_or_graft(p, fresh, replace=("refl",))
+  # refl params came from the FRESH init, density MLP from the checkpoint
+  a = merged["params"]["refl"]
+  f = fresh["params"]["refl"]
+  assert all(np.allclose(x, y) for x, y in zip(
+      jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(f)))
+  d_m = merged["params"]["density_mlp"]["layer_0"]["kernel"]
+  d_s = params["params"]["density_mlp"]["layer_0"]["kernel"]
+  np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_s))
+
+
+def test_monte_carlo_uncertainty():
+  from nerf_atlas_tpu.nn import MonteCarloUncertainty
+  m = MonteCarloUncertainty(features=2, samples=16)
+  x = jnp.ones((8, 4))
+  params = m.init({"params": jax.random.PRNGKey(0),
+                   "sampler": jax.random.PRNGKey(1)}, x)
+  mean, std = m.apply(params, x, rngs={"sampler": jax.random.PRNGKey(2)})
+  assert mean.shape == (8, 2) and std.shape == (8, 2)
+  assert float(std.mean()) > 0  # stochastic passes disagree
