@@ -139,7 +139,10 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   if params is None:
     params = init_model(model, ds, cfg.seed, extra_kwargs)
   if cfg.train_camera:
-    params = {"model": params, "camera": ds.camera}
+    # copy: the step donates its params buffers, and ds.camera must stay
+    # alive for sampling inside the step
+    params = {"model": params,
+              "camera": jax.tree.map(jnp.copy, ds.camera)}
   opt_state = tx.init(params)
   mesh = None
   if cfg.use_mesh and jax.device_count() > 1:
@@ -176,8 +179,9 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   if cfg.save_freq:
     checkpoints.save(cfg.save_path, params, config=config_dict,
                      step=cfg.steps)
-  if cfg.train_camera:
-    return params["model"], opt_state, history
+  # with train_camera the returned params keep the {"model", "camera"}
+  # structure — callers must render with the TRAINED camera, not the
+  # initial one (the runner rebinds ds.camera from it)
   return params, opt_state, history
 
 

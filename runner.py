@@ -305,6 +305,10 @@ def main():
     if history:
       driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
                           window=args.loss_window)
+    if cfg.train_camera:
+      # rebind the dataset to the trained camera for eval rendering
+      ds = ds.replace(camera=params["camera"])
+      params = params["model"]
   elif params is None:
     params = driver.init_model(model, ds, cfg.seed)
 

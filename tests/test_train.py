@@ -130,6 +130,11 @@ def test_driver_train_camera():
                            save_freq=0, train_camera=True)
   params, _, history = driver.train(model, ds, cfg)
   assert history and np.isfinite(history[-1]["loss"])
+  # the trained camera must come back (and differ from the initial one)
+  assert "camera" in params and "model" in params
+  moved = np.abs(np.asarray(params["camera"].cam_to_world)
+                 - np.asarray(ds.camera.cam_to_world)).max()
+  assert moved > 0
 
 
 def test_hyper_config():
