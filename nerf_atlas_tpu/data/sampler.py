@@ -81,9 +81,10 @@ class RayDataset:
     t = None if self.times is None else self.times[view]
     return rays, pix, t
 
-  def view_rays(self, view: int, render_size: Optional[int] = None):
+  def view_rays(self, view, render_size: Optional[int] = None):
     """All rays of one view at `render_size` (default: dataset size),
-    flattened to [render_size**2, 6] — for tiled eval rendering."""
+    flattened to [render_size**2, 6] — for tiled eval rendering.
+    `view` may be a traced int (jit-safe)."""
     rs = render_size or self.size
     scale = self.size / rs
     xs = (jnp.arange(rs, dtype=jnp.float32) + 0.5) * scale

@@ -245,6 +245,8 @@ def main():
                 size=args.size, **load_kwargs)
   ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
   dynamic = ds.times is not None
+  if args.neural_upsample:
+    return run_neural_upsample(args, ds)
   model = build_model(args, dynamic)
 
   cfg = driver.TrainConfig(
@@ -339,6 +341,65 @@ def main():
                      (np.clip(frames[..., :3], 0, 1) * 255).astype("uint8"))
     print(f"[time] wrote {vid_path}")
   return results
+
+
+def run_neural_upsample(args, ds):
+  """--neural-upsample: train on whole low-res views, neurally upsampled
+  to the dataset resolution (reference runner.py:1195-1204 semantics)."""
+  import jax
+  import jax.numpy as jnp
+  import optax
+  from nerf_atlas_tpu import models
+  from nerf_atlas_tpu.train import checkpoints, driver
+
+  lo = args.upsample_low_res
+  model = models.NeuralUpsampled(
+      low_res=lo, out_res=args.size, steps=args.steps, t_near=args.near,
+      t_far=args.far, sky_kind=args.sky_kind,
+      canonical_kind=args.model if args.model != "pixel-single" else "plain",
+      canonical_kwargs=({} if args.model in ("tiny", "mpi", "voxel")
+                        else {"refl_kind": args.refl_kind}))
+  rays0 = ds.view_rays(0, lo).reshape(1, lo, lo, 6)
+  params = model.init({"params": jax.random.PRNGKey(args.seed),
+                       "sampler": jax.random.PRNGKey(args.seed + 1)},
+                      rays0, train=True)
+  tx = optax.adam(args.learning_rate)
+  opt_state = tx.init(params)
+
+  @jax.jit
+  def step(params, opt_state, key):
+    k1, k2 = jax.random.split(key)
+    v = jax.random.randint(k1, (), 0, ds.num_views)
+    rays = ds.view_rays(v, lo).reshape(1, lo, lo, 6)
+    target = ds.pixels[v][..., :3][None]
+
+    def loss_fn(p):
+      out = model.apply(p, rays, train=True, rngs={"sampler": k2})
+      return jnp.mean((out["rgb"] - target) ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    up, opt_state2 = tx.update(g, opt_state)
+    return optax.apply_updates(params, up), opt_state2, loss
+
+  key = jax.random.PRNGKey(args.seed + 7)
+  for i in range(args.epochs):
+    key, k = jax.random.split(key)
+    params, opt_state, loss = step(params, opt_state, k)
+    if (i + 1) % 50 == 0 or i == 0:
+      print(f"step {i+1:6d}  loss {float(loss):.5f}")
+  path = args.save or os.path.join(args.outdir, "model.ckpt")
+  checkpoints.save(path, params, config=vars(args), step=args.epochs)
+
+  # eval: render every view upsampled, report PSNR
+  psnrs = []
+  for v in range(ds.num_views):
+    rays = ds.view_rays(v, lo).reshape(1, lo, lo, 6)
+    img = np.asarray(model.apply(params, rays)["rgb"][0])
+    ref = np.asarray(ds.pixels[v][..., :3])
+    mse = float(np.mean((img - ref) ** 2))
+    psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+  print(f"[upsample] PSNR mean {np.mean(psnrs):.3f} over {len(psnrs)} views")
+  return {"psnr_mean": float(np.mean(psnrs))}
 
 
 if __name__ == "__main__":
