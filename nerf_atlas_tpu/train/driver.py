@@ -185,6 +185,35 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   return params, opt_state, history
 
 
+def _fused_render_fn(model, params):
+  """The fused Pallas render kernel when the model is the flagship
+  (PlainNeRF, cp encoder, default sizes, black sky) on a TPU backend;
+  None otherwise (the pure-XLA oracle renders everything else)."""
+  try:
+    from ..models import PlainNeRF
+    if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
+        or model.sky_kind != "black" or model.mip is not None
+        or model.refl_kind != "view" or model.intermediate_size != 32
+        or model.latent_size != 0 or jax.default_backend() == "cpu"):
+      return None
+    from ..ops.pallas import fused_plain_cp_render
+    from ..ops.pallas.render import DEFAULT_BLOCK_RAYS, _flatten_params
+    _flatten_params(params)  # raises if the param structure diverges
+
+    def fn(p, rays_chunk):
+      br = DEFAULT_BLOCK_RAYS
+      n = rays_chunk.shape[0]
+      pad = (-n) % br
+      rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
+      out = fused_plain_cp_render(p, rc, steps=model.steps,
+                                  t_near=model.t_near, t_far=model.t_far)
+      return out[:n, :3]
+
+    return fn
+  except Exception:  # noqa: BLE001 — any mismatch falls back to the oracle
+    return None
+
+
 def _save_valid_image(model, params, ds, cfg, step, extra_kwargs=None):
   """Periodic validation render of view 0 (reference runner.py:832-842)."""
   try:
@@ -274,8 +303,12 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
   n = rays.shape[0]
   extra = dict(extra_kwargs or {})
 
+  fused = _fused_render_fn(model, params) if mode == "rgb" else None
+
   @jax.jit
   def render_chunk(rs_chunk, t_chunk):
+    if fused is not None:
+      return fused(params, rs_chunk)
     kwargs = dict(extra)
     if t_chunk is not None:
       kwargs["times"] = t_chunk
