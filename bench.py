@@ -1,20 +1,23 @@
 #!/usr/bin/env python3
-"""Benchmark: rays/sec/chip rendering an 800×800 view with the flagship
-PlainNeRF (CP factorized-volume encoder + view reflectance, 64
-samples/ray, bf16 compute) — the BASELINE.json primary metric.
+"""Benchmark: rays/sec/chip on a REAL 800×800 camera frame with the
+flagship PlainNeRF (CP factorized-volume encoder + view reflectance, 64
+samples/ray, bf16 compute) — the BASELINE.json primary metric — plus
+train-step throughput (fused custom-VJP kernel vs the XLA oracle).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Timing note: on remote-attached TPUs, `block_until_ready` can return
 before remote execution completes; every measured iteration therefore
 forces a device→host reduction (`float(out.sum())`), which cannot be
 satisfied without executing the computation.
 
-Baseline derivation (the reference publishes no rays/sec — BASELINE.md):
-its canonical `original` recipe trains 80k steps of 4-view × 16×16-crop
-batches (= 1024 rays/step) in ≈1 day on the author's GPU
-(/root/reference/readme.md:106-107,133; makefile:8-13) → ≈950 rays/sec.
-We use 1000 rays/sec as the reference baseline.
+Baseline: `vs_baseline` divides by the MEASURED PyTorch reference
+training throughput when `BASELINE.json:measured_reference` exists
+(produced by scripts/bench_reference.py — the reference's own hot loop,
+on this host's CPU since the reference needs a GPU it doesn't have
+here; see BASELINE.md for the honest caveats). Fallback: the readme
+anecdote ≈1000 rays/s (80k steps × 1024 rays ≈ 1 day on the author's
+GPU, /root/reference/readme.md:106-133).
 """
 from __future__ import annotations
 
@@ -28,68 +31,143 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
+import numpy as np
 
-REFERENCE_RAYS_PER_SEC = 1000.0
+ANECDOTE_RAYS_PER_SEC = 1000.0
 SIZE = 800
 STEPS = 64
 CHUNK = 131_072
+TRAIN_BATCH = 8192
+
+
+def _baseline():
+  try:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.json")) as f:
+      base = json.load(f)
+    m = base["measured_reference"]
+    return float(m["reference_train_rays_per_sec"]), (
+        f"measured ({m['device']}, scripts/bench_reference.py)")
+  except Exception:  # noqa: BLE001
+    return ANECDOTE_RAYS_PER_SEC, "readme anecdote (unmeasured)"
+
+
+def _flagship(dtype):
+  from nerf_atlas_tpu import models
+  return models.PlainNeRF(steps=STEPS, t_near=2.0, t_far=6.0,
+                          refl_kind="view", sky_kind="black",
+                          enc_kind="cp", dtype=dtype)
+
+
+def _frame_rays():
+  """All rays of a real 800×800 view of the procedural scene (an actual
+  camera sweep, not one repeated chunk)."""
+  from nerf_atlas_tpu.data import cameras as cam_lib, synthetic
+  poses = synthetic.hemisphere_poses(1, seed=0)
+  cam = cam_lib.NeRFCamera.from_json_transforms(poses, 0.6911, SIZE)
+  xs = (jnp.arange(SIZE, dtype=jnp.float32) + 0.5)
+  gy, gx = jnp.meshgrid(xs, xs, indexing="ij")
+  xy = jnp.stack([gx, gy], axis=-1)
+  vidx = jnp.zeros(xy.shape[:-1], jnp.int32)
+  return cam.rays_at(vidx, xy, SIZE).reshape(-1, 6)
+
+
+def bench_render(params, rays):
+  from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
+
+  @jax.jit
+  def render(params, rc):
+    out = fused_plain_cp_render(params, rc, steps=STEPS, t_near=2.0,
+                                t_far=6.0)[:, :3]
+    return jnp.sum(out)
+
+  n = rays.shape[0]
+  pad = (-n) % CHUNK
+  rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+  chunks = [rays_p[i:i + CHUNK] for i in range(0, rays_p.shape[0], CHUNK)]
+  float(render(params, chunks[0]))               # compile + warm
+  reps = 3
+  t0 = time.perf_counter()
+  for _ in range(reps):
+    for rc in chunks:
+      float(render(params, rc))                  # device->host sync
+  dt = (time.perf_counter() - t0) / reps
+  return (n + pad) / dt
+
+
+def bench_train(params, fused: bool):
+  """Train-step rays/sec: fused custom-VJP kernel vs the XLA oracle."""
+  import optax
+  from nerf_atlas_tpu.ops import rays as rays_ops
+  from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_render_train
+  model = _flagship(jnp.bfloat16 if fused else jnp.float32)
+
+  key = jax.random.PRNGKey(0)
+  r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (TRAIN_BATCH, 1))
+  r_d = (jax.random.normal(key, (TRAIN_BATCH, 3)) * 0.1
+         + jnp.array([0.0, 0.0, -1.0]))
+  rays = jnp.concatenate([r_o, r_d], axis=-1)
+  target = jax.random.uniform(jax.random.PRNGKey(1), (TRAIN_BATCH, 3))
+  tx = optax.adam(5e-4)
+  opt_state = tx.init(params)
+
+  @jax.jit
+  def step(params, opt_state, k):
+    def loss_fn(p):
+      if fused:
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_plain_cp_render_train(p, rays, ts, steps=STEPS,
+                                          t_near=2.0, t_far=6.0)[:, :3]
+      else:
+        rgb = model.apply(p, rays, train=True, rngs={"sampler": k})["rgb"]
+      return jnp.mean((rgb - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+  k = jax.random.PRNGKey(2)
+  p, s = params, opt_state
+  p, s, l = step(p, s, k)
+  float(l)                                       # compile + warm
+  n = 20
+  t0 = time.perf_counter()
+  for i in range(n):
+    p, s, l = step(p, s, jax.random.fold_in(k, i))
+    float(l)                                     # device->host sync
+  dt = time.perf_counter() - t0
+  return n * TRAIN_BATCH / dt
 
 
 def main():
-  from nerf_atlas_tpu import models
-
-  model = models.PlainNeRF(steps=STEPS, t_near=2.0, t_far=6.0,
-                           refl_kind="view", sky_kind="black",
-                           enc_kind="cp", dtype=jnp.bfloat16)
-  key = jax.random.PRNGKey(0)
-  r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (CHUNK, 1))
-  r_d = jax.random.normal(key, (CHUNK, 3)) * 0.1 + jnp.array([0., 0., -1.])
-  rays = jnp.concatenate([r_o, r_d], axis=-1)
+  model = _flagship(jnp.bfloat16)
+  rays = _frame_rays()
   params = model.init({"params": jax.random.PRNGKey(0),
                        "sampler": jax.random.PRNGKey(1)}, rays[:256],
                       train=True)
 
-  from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
-
-  @jax.jit
-  def render(params, rays):
-    out = fused_plain_cp_render(params, rays, steps=STEPS, t_near=2.0,
-                                t_far=6.0)[:, :3]
-    return out, jnp.sum(out)
-
-  @jax.jit
-  def render_xla(params, rays):
-    out = model.apply(params, rays)["rgb"]
-    return out, jnp.sum(out)
-
-  # warmup/compile + force execution; fall back to the pure-XLA path if
-  # the fused kernel cannot compile on this backend
+  render_rps = bench_render(params, rays)
   try:
-    _, s = render(params, rays)
-    float(s)
+    train_fused = bench_train(params, fused=True)
   except Exception as e:  # noqa: BLE001
-    print(f"# fused kernel unavailable ({type(e).__name__}); XLA path",
+    print(f"# fused train kernel unavailable: {type(e).__name__}: {e}",
           flush=True)
-    render = render_xla
-    _, s = render(params, rays)
-    float(s)
+    train_fused = None
+  train_xla = bench_train(params, fused=False)
 
-  n_rays = SIZE * SIZE
-  n_chunks = (n_rays + CHUNK - 1) // CHUNK
-  reps = 3
-  t0 = time.perf_counter()
-  for _ in range(reps):
-    for _ in range(n_chunks):
-      _, s = render(params, rays)
-      float(s)  # device->host sync: forces real execution
-  dt = (time.perf_counter() - t0) / reps
-  rays_per_sec = n_chunks * CHUNK / dt
-
+  baseline, baseline_src = _baseline()
   print(json.dumps({
-      "metric": "rays/sec/chip, 800x800 render, PlainNeRF-CP 64 steps",
-      "value": round(rays_per_sec, 1),
+      "metric": "rays/sec/chip, real 800x800 frame, PlainNeRF-CP 64 steps",
+      "value": round(render_rps, 1),
       "unit": "rays/s",
-      "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+      "vs_baseline": round(render_rps / baseline, 2),
+      "baseline_rays_per_sec": baseline,
+      "baseline_source": baseline_src,
+      "train_rays_per_sec_fused": (None if train_fused is None
+                                   else round(train_fused, 1)),
+      "train_rays_per_sec_xla": round(train_xla, 1),
+      "train_vs_baseline": (None if train_fused is None
+                            else round(train_fused / baseline, 2)),
   }))
 
 

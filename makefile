@@ -40,6 +40,21 @@ synth-dyn-spline:
 	  --batch-size 1024 --steps 32 --near 1.5 --far 4.5 -lr 5e-4 \
 	  --outdir outputs/synth_dyn_spline
 
+synth-nerv:  # relighting: moving point lights + learned-occ shadows
+	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
+	  --size 48 --num-views 8 --epochs 2000 --batch-size 1024 --steps 24 \
+	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --light-kind dataset --occ-kind learned --integrator-kind direct \
+	  --eikonal-weight 0.05 --occ-decay-weight 1e-3 \
+	  --outdir outputs/synth_nerv
+
+synth-nerv-path:  # one-bounce path integration variant
+	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
+	  --size 32 --num-views 8 --epochs 800 --batch-size 512 --steps 16 \
+	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --light-kind dataset --integrator-kind path \
+	  --eikonal-weight 0.05 --outdir outputs/synth_nerv_path
+
 synth-voxel:
 	$(PY) runner.py -d "" --data-kind synthetic --model voxel --size 48 \
 	  --num-views 8 --epochs 1500 --batch-size 2048 --steps 32 \
@@ -91,5 +106,5 @@ bench:
 	$(PY) bench.py
 
 .PHONY: synth-tiny synth-plain synth-ae synth-volsdf synth-dyn \
-  synth-dyn-spline synth-voxel original volsdf dnerf dnerf-spline dtu ae \
-  test bench
+  synth-dyn-spline synth-nerv synth-nerv-path synth-voxel original volsdf \
+  dnerf dnerf-spline dtu ae test bench

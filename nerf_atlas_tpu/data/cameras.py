@@ -74,7 +74,7 @@ class NeRFCamera:
     """
     if jitter > 0:
       assert key is not None
-      xy = xy + jitter * jax.random.uniform(key, xy.shape, xy.dtype)
+      xy = xy + jitter * (jax.random.uniform(key, xy.shape, xy.dtype) - 0.5)
     d_cam = self._pixel_dirs(xy, size)                       # [..., 3]
     c2w = self.cam_to_world[view_idx]                        # [..., 4, 4]
     r_d = jnp.einsum("...ij,...j->...i", c2w[..., :3, :3], d_cam)
@@ -123,7 +123,7 @@ class OrthogonalCamera:
               key: Optional[jax.Array] = None):
     if jitter > 0:
       assert key is not None
-      xy = xy + jitter * jax.random.uniform(key, xy.shape, xy.dtype)
+      xy = xy + jitter * (jax.random.uniform(key, xy.shape, xy.dtype) - 0.5)
     uv = (xy / size - 0.5) * self.view_width
     c2w = self.cam_to_world[view_idx]
     offset = (uv[..., 0:1] * c2w[..., :3, 0]
@@ -168,7 +168,7 @@ class StaticCamera:
     del view_idx
     if jitter > 0:
       assert key is not None
-      xy = xy + jitter * jax.random.uniform(key, xy.shape, xy.dtype)
+      xy = xy + jitter * (jax.random.uniform(key, xy.shape, xy.dtype) - 0.5)
     u = (xy[..., 0] - size * 0.5) / self.focal
     v = -(xy[..., 1] - size * 0.5) / self.focal
     r_d = jnp.stack([u, v, -jnp.ones_like(u)], axis=-1)
@@ -203,7 +203,7 @@ class DTUCamera:
     del size  # K already carries the pixel scale
     if jitter > 0:
       assert key is not None
-      xy = xy + jitter * jax.random.uniform(key, xy.shape, xy.dtype)
+      xy = xy + jitter * (jax.random.uniform(key, xy.shape, xy.dtype) - 0.5)
     pose = self.pose[view_idx]
     K = self.K[view_idx]
     homog = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)

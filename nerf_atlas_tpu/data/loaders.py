@@ -68,12 +68,11 @@ def original(path: str, training: bool = True, size: int = 256,
       fp = fp + ".png"
     img = _resize(_imread(fp), size)
     poses.append(np.asarray(frame["transform_matrix"], np.float32))
-    if img.shape[-1] == 4:
+    if img.shape[-1] == 4 and white_bg:
       rgb, a = img[..., :3], img[..., 3:]
-      if white_bg:
-        img = np.concatenate([rgb * a + (1 - a), a], -1)
-    if not with_mask and img.shape[-1] == 4:
-      img = img if white_bg is False else img  # keep alpha channel
+      img = np.concatenate([rgb * a + (1 - a), a], -1)
+    # the alpha channel rides through as a mask either way (consumed by
+    # SDF-style silhouette losses; ignored by RGB-only losses)
     imgs.append(img)
   imgs = np.stack(imgs)
   camera = cam_lib.NeRFCamera.from_json_transforms(
@@ -220,11 +219,11 @@ def single_image(path: str, training: bool = True, size: int = 256):
 
 def synthetic_spheres(path: str = "", training: bool = True, size: int = 64,
                       num_views: int = 8, dynamic: bool = False,
-                      white_bg: bool = False):
+                      white_bg: bool = False, lit: bool = False):
   """Procedural golden scene (see synthetic.py). `path` ignored."""
   labels, camera, lights = synthetic.dataset(
       num_views=num_views, size=size, dynamic=dynamic, white_bg=white_bg,
-      seed=0 if training else 1)
+      lit=lit, seed=0 if training else 1)
   return DatasetBundle(labels, camera, lights)
 
 
@@ -237,6 +236,7 @@ LOADER_KINDS = {
     "pixel-single": single_image,
     "synthetic": synthetic_spheres,
     "synthetic-dyn": lambda *a, **kw: synthetic_spheres(*a, dynamic=True, **kw),
+    "synthetic-lit": lambda *a, **kw: synthetic_spheres(*a, lit=True, **kw),
 }
 
 

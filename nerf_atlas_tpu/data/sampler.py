@@ -22,10 +22,11 @@ from flax import struct
 
 @struct.dataclass
 class RayDataset:
-  """Device-resident labels + camera; jit-safe sampling methods."""
+  """Device-resident labels + camera (+ lights); jit-safe sampling."""
   pixels: jnp.ndarray                      # [N, S, S, C]
   camera: Any                              # camera pytree
   times: Optional[jnp.ndarray] = None      # [N] or None
+  lights: Optional[Any] = None             # light pytree (refl.lights.Point)
   size: int = struct.field(pytree_node=False, default=256)
 
   @classmethod
@@ -35,20 +36,28 @@ class RayDataset:
     if isinstance(labels, tuple):
       labels, times = labels
       times = jnp.asarray(times)
+    lights = getattr(bundle, "lights", None)
+    if isinstance(lights, dict):
+      # loader contract: {"positions": [N, L, 3], "intensity": scalar|[L,C]}
+      # (e.g. nerv_point) -> a Point light pytree
+      from ..refl import lights as lights_lib
+      lights = lights_lib.Point.make(lights["positions"],
+                                     lights.get("intensity", 100.0))
     return cls(pixels=jnp.asarray(labels), camera=bundle.camera,
-               times=times, size=size)
+               times=times, lights=lights, size=size)
 
   @property
   def num_views(self) -> int:
     return self.pixels.shape[0]
 
-  def sample_rays(self, key, batch_size: int, jitter: float = 0.0,
-                  view_range: Optional[Tuple[int, int]] = None):
+  def sample(self, key, batch_size: int, jitter: float = 0.0,
+             view_range: Optional[Tuple[int, int]] = None):
     """Uniform random rays over all views and pixels.
 
     view_range=(lo, hi) restricts sampling to views [lo, hi) — used by
     progressive long-video training to train one time window at a time.
-    Returns (rays [B, 6], pix [B, C], times [B] | None).
+    Returns (rays [B, 6], pix [B, C], times [B] | None, view [B] int32)
+    — `view` feeds per-view light selection for relightable models.
     """
     k1, k2, k3 = jax.random.split(key, 3)
     n, s = self.num_views, self.size
@@ -59,13 +68,21 @@ class RayDataset:
     rays = self.camera.rays_at(view, (xy + 0.5).astype(jnp.float32), s,
                                jitter=jitter, key=k3)
     t = None if self.times is None else self.times[view]
+    return rays, pix, t, view
+
+  def sample_rays(self, key, batch_size: int, jitter: float = 0.0,
+                  view_range: Optional[Tuple[int, int]] = None):
+    """`sample` without the view indices (legacy 3-tuple form)."""
+    rays, pix, t, _ = self.sample(key, batch_size, jitter, view_range)
     return rays, pix, t
 
   def sample_crop(self, key, crop_size: int, views_per_batch: int = 1,
                   jitter: float = 0.0):
-    """Random contiguous crop from random views (reference semantics).
+    """Random contiguous crop from random views (reference semantics;
+    feeds image-structured losses: ssim / fft / style).
 
-    Returns (rays [V, c, c, 6], pix [V, c, c, C], times [V] | None).
+    Returns (rays [V, c, c, 6], pix [V, c, c, C], times [V] | None,
+    view [V] int32).
     """
     k1, k2, k3 = jax.random.split(key, 3)
     n, s, c = self.num_views, self.size, crop_size
@@ -79,7 +96,7 @@ class RayDataset:
     rays = self.camera.rays_at(vidx, (xy + 0.5).astype(jnp.float32), s,
                                jitter=jitter, key=k3)
     t = None if self.times is None else self.times[view]
-    return rays, pix, t
+    return rays, pix, t, view
 
   def view_rays(self, view, render_size: Optional[int] = None):
     """All rays of one view at `render_size` (default: dataset size),

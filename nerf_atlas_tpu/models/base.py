@@ -39,6 +39,7 @@ class NeRFBase(nn.Module):
   latent_size: int = 0                   # total extra latent fed to fields
   density_noise: float = 0.0
   per_ray_jitter: bool = False
+  lindisp: bool = False                  # sample linear in disparity
   dtype: Any = jnp.float32
 
   # ---- helpers shared by all subclasses --------------------------------
@@ -47,6 +48,7 @@ class NeRFBase(nn.Module):
     key = self.make_rng("sampler") if train else None
     return rays_ops.compute_pts_ts(
         rays, self.t_near, self.t_far, self.steps,
+        lindisp=self.lindisp,
         perturb=1.0 if train else 0.0, key=key,
         per_ray_jitter=self.per_ray_jitter)
 

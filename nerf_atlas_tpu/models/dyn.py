@@ -130,9 +130,17 @@ class DynamicNeRFAE(NeRFBase):
 
 class LongDynamicNeRF(NeRFBase):
   """Segmented poly-Bezier dynamics for long videos: time in [0,1] is
-  split into `segments` spans, each with its own control-point MLP; C0
-  continuity comes from evaluating segment s at its local time with the
-  previous segment's endpoint as the first control point."""
+  split into `segments` spans; C0 continuity comes from evaluating
+  segment s with the previous segment's endpoint as its first control
+  point.
+
+  TPU-first layout (replaces the reference's one-MLP-per-segment with
+  sparse `seg.unique()` eval, src/nerf.py:1322-1446): ONE wide warp MLP
+  emits every segment's control deltas in a single MXU-friendly matmul;
+  a global cumulative sum stitches the poly-Bezier (C0 for free), and a
+  per-point windowed gather selects the active segment's control points.
+  Warp cost is O(1) in `segments` — the reference pays one MLP per
+  segment even when sparse."""
   canonical_kind: str = "plain"
   canonical_kwargs: Any = None
   segments: int = 4
@@ -147,46 +155,39 @@ class LongDynamicNeRF(NeRFBase):
     kwargs.setdefault("t_far", self.t_far)
     self.canonical = MODEL_KINDS[self.canonical_kind](**kwargs)
     enc = FourierEncoder(input_dims=3, freqs=32, sigma=16.0)
-    # one MLP per segment emitting (spline_points - 1) deltas; segment 0's
-    # first control point is pinned to 0
-    self.seg_mlps = [
-        SkipConnMLP(in_size=3, out=3 * (self.spline_points - 1), enc=enc,
-                    num_layers=4, hidden_size=128, zero_last=True,
-                    dtype=self.dtype, name=f"seg_{i}")
-        for i in range(self.segments)
-    ]
+    # all segments' control deltas from one MLP; segment 0's first
+    # control point is pinned to 0
+    self.warp = SkipConnMLP(
+        in_size=3, out=3 * (self.spline_points - 1) * self.segments,
+        enc=enc, num_layers=4, hidden_size=128, zero_last=True,
+        dtype=self.dtype, name="warp")
     if self.with_rigidity:
       self.rigidity = SkipConnMLP(in_size=3, out=1, num_layers=3,
                                   hidden_size=64, dtype=self.dtype,
                                   name="rigidity")
 
-  def _all_ctrl(self, pts):
-    """Stitched control points per segment: [S, N_ctrl, ..., 3]."""
-    prev_end = jnp.zeros(pts.shape[:-1] + (3,), pts.dtype)
-    all_ctrl = []
-    for i in range(self.segments):
-      deltas = self.seg_mlps[i](pts).reshape(
-          pts.shape[:-1] + (self.spline_points - 1, 3))
-      # control points are cumulative offsets from the previous endpoint
-      ctrl = prev_end[..., None, :] + jnp.cumsum(deltas, axis=-2)
-      ctrl = jnp.concatenate([prev_end[..., None, :], ctrl], axis=-2)
-      all_ctrl.append(jnp.moveaxis(ctrl, -2, 0))
-      prev_end = ctrl[..., -1, :]
-    return jnp.stack(all_ctrl, axis=0)  # [S, N_ctrl, ..., 3]
+  def _ctrl_track(self, pts):
+    """Global stitched control track: padded [..., S*(P-1)+1, 3] where
+    padded[0] = 0 and padded[k] = cumsum(deltas)[k-1]. Segment s's
+    control points are the window padded[s*(P-1) : s*(P-1)+P] — sharing
+    the window edge with its neighbors IS the C0 stitch."""
+    P = self.spline_points
+    deltas = self.warp(pts).reshape(
+        pts.shape[:-1] + (self.segments * (P - 1), 3))
+    cum = jnp.cumsum(deltas, axis=-2)
+    zero = jnp.zeros(pts.shape[:-1] + (1, 3), pts.dtype)
+    return jnp.concatenate([zero, cum], axis=-2)
 
   def delta_x(self, pts, t):
-    S = self.segments
+    S, P = self.segments, self.spline_points
     seg = jnp.clip((t[..., 0] * S).astype(jnp.int32), 0, S - 1)
     local_t = t[..., 0] * S - seg
-    all_ctrl = self._all_ctrl(pts)
-    # evaluate every segment's spline (dense) and select the active one —
-    # static shapes; per-segment sparse evaluation is a later optimization
-    evals = []
-    for i in range(S):
-      evals.append(bezier.de_casteljau(all_ctrl[i], local_t[..., None],
-                                       self.spline_points))
-    dp = jnp.take_along_axis(
-        jnp.stack(evals, 0), seg[None, ..., None], axis=0)[0]
+    padded = self._ctrl_track(pts)                      # [..., S(P-1)+1, 3]
+    idx = seg[..., None] * (P - 1) + jnp.arange(P)      # [..., P]
+    ctrl = jnp.take_along_axis(
+        padded, idx[..., None].astype(jnp.int32), axis=-2)  # [..., P, 3]
+    dp = bezier.de_casteljau(jnp.moveaxis(ctrl, -2, 0),
+                             local_t[..., None], P)
     if self.with_rigidity:
       dp = dp * jax.nn.sigmoid(self.rigidity(pts))
     return dp

@@ -312,10 +312,16 @@ class RecurrentNeRF(NeRFBase):
 
 class SinglePixelNeRF(NeRFBase):
   """PixelNeRF-style: condition a canonical NeRF on per-pixel image
-  features sampled at the reference view's projection of each point."""
+  features sampled at the reference view's projection of each point.
+
+  With `focal`/`img_size` set (the pixel-single CLI path: one image, an
+  identity pinhole camera), `uv` is derived from the ray directions so
+  the driver only has to thread `image` through extra_kwargs."""
   canonical_kind: str = "plain"
   canonical_kwargs: Any = None
   feat_size: int = 64
+  focal: float = 0.0
+  img_size: int = 0
 
   def setup(self):
     from . import MODEL_KINDS
@@ -328,11 +334,23 @@ class SinglePixelNeRF(NeRFBase):
     self.encoder = SpatialEncoder(latent_size=self.feat_size,
                                   name="spatial_enc")
 
+  def _uv_from_rays(self, r_d):
+    """Identity-camera inverse projection: ray dir -> uv in [-1, 1]."""
+    z = jnp.maximum(-r_d[..., 2:3], 1e-8)
+    u = r_d[..., 0:1] / z * self.focal + self.img_size * 0.5
+    v = -r_d[..., 1:2] / z * self.focal + self.img_size * 0.5
+    return 2.0 * jnp.concatenate([u, v], -1) / self.img_size - 1.0
+
   def __call__(self, rays, times=None, latents=None, train: bool = False,
                image=None, uv=None):
     """`image` [H, W, 3]: the conditioning view; `uv` [..., 2] in [-1,1]:
     where each ray's pixel projects in that view."""
-    assert image is not None and uv is not None
+    assert image is not None, "pixel-single needs the conditioning image"
+    if uv is None:
+      assert self.focal > 0 and self.img_size > 0, (
+          "pass uv explicitly or set focal/img_size for the identity-"
+          "camera fallback")
+      uv = self._uv_from_rays(rays[..., 3:6])
     feats = self.encoder(image)
     per_pixel = SpatialEncoder.sample(feats, uv)    # [..., F]
     pts, ts, r_o, r_d = self.sample_points(rays, train)

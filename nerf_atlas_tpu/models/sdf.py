@@ -244,12 +244,20 @@ class SDF(nn.Module):
 
   def __call__(self, rays, times=None, latents=None, train: bool = False):
     r_o, r_d = rays[..., :3], rays[..., 3:6]
+    if self.is_initializing():
+      # materialize the shape's params OUTSIDE lax control flow: marchers
+      # that first evaluate the SDF inside fori_loop would otherwise
+      # create params under the loop trace (leaked-tracer error at init)
+      self.shape(r_o)
     isect = march.INTERSECTION_KINDS[self.isect_kind]
     pts, hits, best_pos, tput = isect(
         self.value, r_o, r_d, iters=self.march_steps,
         near=self.t_near, far=self.t_far)
-    if tput is None:  # sphere marching returns no throughput
-      tput = self.value(best_pos if best_pos is not None else pts)[..., None]
+    if tput is None:
+      # sphere marching returns (pts, hits, dist, None) — no min-SDF track
+      # and no best position; the differentiable miss signal is the SDF at
+      # the march end points themselves.
+      tput = self.value(pts)[..., None]
     elif tput.ndim == r_o.ndim - 1:
       tput = tput[..., None]
 

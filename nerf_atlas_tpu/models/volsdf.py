@@ -27,8 +27,11 @@ class VolSDF(NeRFBase):
   refl_kind: str = "view"
   occ_kind: Optional[str] = None
   integrator_kind: Optional[str] = None   # None | "direct" | "path"
+  light_kind: Optional[str] = None        # "field" -> learned light module
   sdf_latent: int = 32
   with_normals: bool = False
+  path_samples: int = 4                   # secondary dirs for "path"
+  path_march_steps: int = 16              # scan steps of the bounce march
 
   def setup(self):
     self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.sdf_latent)
@@ -39,6 +42,9 @@ class VolSDF(NeRFBase):
         act=self.sigmoid_kind)
     if self.occ_kind is not None:
       self.occ = load_occlusion(self.occ_kind)
+    if self.light_kind == "field":
+      from ..refl.lights import Field
+      self.light_field = Field()
     self._needs_normal = needs_normal
     self.density_scale_raw = self.param(
         "density_scale", nn.initializers.constant(-2.3), ())
@@ -66,6 +72,70 @@ class VolSDF(NeRFBase):
         self.sdf_value, pts, d, near, far, batch_size=steps)
     return hits
 
+  def occ_attenuation(self, pts, light_dir):
+    """Occlusion attenuation at arbitrary points (the regularizer hook:
+    smooth-occ / occ-decay sample random (pts, dirs) through this)."""
+    if self.occ_kind is None:
+      return jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+    return self.occ(pts, light_dir, self.intersect_mask)
+
+  def _direct(self, pts, view, n, lat, lights, view_idx):
+    """Direct illumination: Σ_lights occ × BRDF × incident spectrum
+    (reference src/nerf.py:923-929, src/renderers.py:177-237)."""
+    light_dir, spectrum = lights(pts, view_idx=view_idx)
+    L = light_dir.shape[-2]
+    rgb = 0.0
+    occ_decay = 0.0
+    for i in range(L):
+      ld = light_dir[..., i, :]
+      sp = spectrum[..., i, :]
+      if self.occ_kind is None:
+        att = 1.0
+      else:
+        att = self.occ(pts, ld, self.intersect_mask)
+        occ_decay = occ_decay + jnp.mean(jnp.square(1.0 - att)) / L
+      bsdf = self.refl(pts, view=view, normal=n, light=ld, latent=lat)
+      rgb = rgb + att * bsdf * sp
+    return rgb, occ_decay
+
+  def _one_bounce(self, pts, view, n, lat, lights, view_idx):
+    """One-bounce indirect light for the `path` integrator: sample
+    hemisphere directions, march each to a SECOND surface (ops/march
+    bisect), evaluate its direct radiance, and fold it back through the
+    BRDF at the primary point. Per-step RNG via the 'sampler' stream
+    during training; deterministic at eval. (The reference's path
+    integrator was unfinished — src/nerf.py:932-980; this is the intended
+    single-bounce behavior, dense/masked for TPU.)"""
+    from ..ops import march
+    K = self.path_samples
+    key = (self.make_rng("sampler") if self.has_rng("sampler")
+           else jax.random.PRNGKey(17))
+    dirs = jax.random.normal(key, pts.shape[:-1] + (K, 3), pts.dtype)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    cosn = jnp.sum(dirs * n[..., None, :], axis=-1, keepdims=True)
+    dirs = jnp.where(cosn < 0, -dirs, dirs)  # normal hemisphere
+
+    origin = pts[..., None, :] + 0.03 * dirs
+    x2, hit2, _, _ = march.bisect(
+        self.sdf_value, origin, dirs, iters=self.path_march_steps,
+        near=0.02, far=4.0)
+    _, lat2 = self.shape(x2)
+    n2 = self.normals(x2)
+    vidx2 = None if view_idx is None else view_idx[..., None]
+    # radiance leaving the second surface toward the primary point
+    incoming, _ = self._direct(x2, -dirs, n2, lat2, lights, vidx2)
+    incoming = incoming * hit2[..., None]
+    # fold through the primary BRDF with the sampled incident direction
+    xb = jnp.broadcast_to(pts[..., None, :], x2.shape)
+    vb = None if view is None else jnp.broadcast_to(view[..., None, :],
+                                                    x2.shape)
+    nb = jnp.broadcast_to(n[..., None, :], x2.shape)
+    latb = jnp.broadcast_to(lat[..., None, :],
+                            x2.shape[:-1] + (lat.shape[-1],))
+    f = self.refl(xb, view=vb, normal=nb, light=dirs, latent=latb)
+    return jnp.mean(f * incoming, axis=-2)
+
   def query(self, pts, view=None, latent=None, train: bool = False,
             view_idx=None, lights=None):
     sdf_vals, sdf_latent = self.shape(pts)
@@ -77,23 +147,17 @@ class VolSDF(NeRFBase):
                   or getattr(self.refl, "can_use_normal", False))
     n = self.normals(pts) if use_normal else None
 
+    if lights is None and self.light_kind == "field":
+      lights = self.light_field
+    extras = {}
     if self.integrator_kind is None or lights is None:
       rgb = self.refl(pts, view=view, normal=n, latent=lat)
     else:
-      light_dir, spectrum = lights(pts, view_idx=view_idx)
-      L = light_dir.shape[-2]
-      rgb = 0.0
-      occ = self.occ if self.occ_kind is not None else None
-      for i in range(L):
-        ld = light_dir[..., i, :]
-        sp = spectrum[..., i, :]
-        if occ is None:
-          att = 1.0
-        else:
-          att = occ(pts, ld, self.intersect_mask)
-        bsdf = self.refl(pts, view=view, normal=n, light=ld, latent=lat)
-        rgb = rgb + att * bsdf * sp
-    return density, rgb, sdf_vals, n
+      rgb, occ_decay = self._direct(pts, view, n, lat, lights, view_idx)
+      extras["occ_decay"] = occ_decay
+      if self.integrator_kind == "path":
+        rgb = rgb + self._one_bounce(pts, view, n, lat, lights, view_idx)
+    return density, rgb, sdf_vals, n, extras
 
   def __call__(self, rays, times=None, latents=None, train: bool = False,
                view_idx=None, lights=None):
@@ -103,10 +167,11 @@ class VolSDF(NeRFBase):
     vidx = None
     if view_idx is not None:
       vidx = jnp.broadcast_to(view_idx[..., None], pts.shape[:-1])
-    density, rgb, sdf_vals, n = self.query(
+    density, rgb, sdf_vals, n, extras = self.query(
         pts, view=view, latent=lat, train=train, view_idx=vidx,
         lights=lights)
     out = self.finish(density, rgb, ts, r_d, train, softplus=False)
+    out.update(extras)
     out["sdf_vals"] = sdf_vals
     out["scale"] = self.density_params()
     if n is not None:

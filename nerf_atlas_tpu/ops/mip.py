@@ -51,7 +51,9 @@ def conical_frustum_to_gaussian(r_d, t0, t1, rad):
   hw4 = hw2 * hw2
   denom = 3 * mu2 + hw2
   t_mean = mu + (2 * mu * hw2) / denom
-  t_var = hw / 3 - (4 / 15) * ((hw4 * (12 * mu2 - hw2)) / denom**2)
+  # MipNeRF closed form: hw^2/3 − … (the reference's src/utils.py:31 has a
+  # dimensionally-wrong hw/3 — a latent bug we do not reproduce)
+  t_var = hw2 / 3 - (4 / 15) * ((hw4 * (12 * mu2 - hw2)) / denom**2)
   r_var = rad * rad * (mu2 / 4 + (5 / 12) * hw2 - (4 / 15) * hw4 / denom)
   return lift_gaussian(r_d, t_mean, t_var, r_var)
 

@@ -64,11 +64,13 @@ def _thin_sigmoid(v, eps: float = 1e-2):
   return fat + eps
 
 
-def _render_kernel(rays_ref, elaz_ref, *refs, steps, t_near, t_far,
+def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
                    block_rays):
   """refs: [w list..., out_ref]. Weight order produced by `_flatten_params`.
   elaz_ref: per-ray (elev, azim) of the view direction, precomputed outside
-  the kernel (Mosaic has no acos/atan2 primitives)."""
+  the kernel (Mosaic has no acos/atan2 primitives). ts_ref/dists_ref
+  [1, T]: sample positions + segment lengths (incl. the 1e10 tail),
+  host-computed so training can feed stratified samples."""
   out_ref = refs[-1]
   wrefs = refs[:-1]
   widx = [0]
@@ -85,10 +87,7 @@ def _render_kernel(rays_ref, elaz_ref, *refs, steps, t_near, t_far,
   r_o = rays[:, 0:3]
   r_d = rays[:, 3:6]
 
-  # sample points, ray-major: t varies fastest
-  ts = t_near + (t_far - t_near) * (
-      jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(jnp.float32)
-      / (T - 1))                                                   # [1, T]
+  ts = ts_ref[:, :]                             # [1, T]
   # pts [B, T, 3] -> [P, 3]
   pts = (r_o[:, None, :] + ts[0][None, :, None] * r_d[:, None, :]
          ).reshape(P, 3)
@@ -146,12 +145,13 @@ def _render_kernel(rays_ref, elaz_ref, *refs, steps, t_near, t_far,
   # ---- compositing (matches ops.integrate.alpha_from_density) ----
   sigma = jax.nn.softplus(density - 1.0)        # [P, 1]
   d_bt = sigma.reshape(B, T)
-  dt = max((t_far - t_near) / (T - 1), 1e-5)
   rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))  # [B, 1]
-  col_t = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-  dists = jnp.where(col_t == T - 1, 1e10, dt) * rd_norm           # [B, T]
+  dists = dists_ref[:, :] * rd_norm             # [B, T]
   alpha = 1.0 - jnp.exp(-d_bt * dists)          # [B, T]
-  log_t = jnp.log(jnp.maximum(1.0 - alpha + 1e-10, 1e-30))
+  # NOTE: `1.0 - alpha + 1e-10` is UNSAFE here — XLA reassociates it to
+  # (1.0 + 1e-10) - alpha, which rounds the constant back to 1.0 and
+  # yields exactly 0 at saturated samples; clamp explicitly instead.
+  log_t = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
   # exclusive prefix sum along T as a strictly-lower-triangular matmul
   row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
   col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
@@ -190,33 +190,33 @@ def _flatten_params(params) -> Sequence[jnp.ndarray]:
   return ws
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
-                                             "block_rays", "interpret"))
-def fused_plain_cp_render(params, rays, *, steps: int = 64,
-                          t_near: float = 2.0, t_far: float = 6.0,
-                          block_rays: int = DEFAULT_BLOCK_RAYS,
-                          interpret: bool = False):
-  """Render rays [N, 6] -> [N, 4] (rgb ‖ acc) with the fused kernel.
+def _linspace_ts(steps, t_near, t_far):
+  ts = jnp.linspace(t_near, t_far, steps)[None]             # [1, T]
+  return ts
 
-  params: the flax params of models.PlainNeRF(enc_kind="cp") with default
-  architecture sizes. N must be a multiple of block_rays (the driver pads).
-  """
+
+def _dists_base(ts):
+  """Segment lengths with the reference's 1e10 tail and 1e-5 clamp
+  (ops.integrate.dists_from_ts, unscaled by ||r_d||)."""
+  end = jnp.full_like(ts[..., :1], 1e10)
+  d = jnp.concatenate([ts[..., 1:] - ts[..., :-1], end], axis=-1)
+  return jnp.maximum(d, 1e-5)
+
+
+def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
+                  interpret):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
-  # pre-cast matmul weights to bf16 on the host: casting 256x256 kernels
-  # inside every grid program costs more VPU time than the matmuls save
-  ws = [w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
-        for w in _flatten_params(params)]
-
-  from ...ops.math import dir_to_elev_azim
-  elaz = dir_to_elev_azim(rays[:, 3:6])          # [N, 2] host-side math
-
-  kernel = functools.partial(_render_kernel, steps=steps, t_near=t_near,
-                             t_far=t_far, block_rays=block_rays)
+  kernel = functools.partial(_render_kernel, steps=steps,
+                             block_rays=block_rays)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
               pl.BlockSpec((block_rays, 2), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((1, steps), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((1, steps), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)]
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -231,4 +231,359 @@ def fused_plain_cp_render(params, rays, *, steps: int = 64,
       out_specs=out_spec,
       out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
       interpret=interpret,
-  )(rays, elaz, *ws)
+  )(rays, elaz, ts, dists, *ws)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
+                                             "block_rays", "interpret"))
+def fused_plain_cp_render(params, rays, *, steps: int = 64,
+                          t_near: float = 2.0, t_far: float = 6.0,
+                          block_rays: int = DEFAULT_BLOCK_RAYS,
+                          interpret: bool = False):
+  """Render rays [N, 6] -> [N, 4] (rgb ‖ acc) with the fused kernel.
+
+  params: the flax params of models.PlainNeRF(enc_kind="cp") with default
+  architecture sizes. N must be a multiple of block_rays (the driver pads).
+  """
+  # pre-cast matmul weights to bf16 on the host: casting 256x256 kernels
+  # inside every grid program costs more VPU time than the matmuls save
+  ws = [w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in _flatten_params(params)]
+
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])          # [N, 2] host-side math
+  ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  return _forward_call(ws, rays, elaz, ts, dists, steps=steps,
+                       block_rays=block_rays, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable path (training): custom VJP with a recompute-in-VMEM
+# backward kernel. SURVEY §7 "must stay differentiable (custom VJP)".
+#
+# The backward kernel re-runs the forward for its ray block entirely in
+# VMEM — storing the activation chain (density MLP post-activations, refl
+# MLP pre-activations, CP factors) — then hand-chains the local VJPs:
+# compositing -> thin-sigmoid -> refl MLP -> density MLP -> CP encoder.
+# Weight gradients accumulate in fp32 across sequential grid steps
+# (constant out index_map). No [N·T, C] activation ever touches HBM.
+# ---------------------------------------------------------------------------
+
+BWD_BLOCK_RAYS = 16
+N_WS = len(CP_RESOLUTIONS) + 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2)
+
+
+def _dot_t(a, b):
+  """aᵀ b: [P, I], [P, O] -> [I, O] (weight-gradient matmul)."""
+  return jax.lax.dot_general(
+      a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+      dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+  """a bᵀ: [P, O], [I, O] -> [P, I] (input-gradient matmul)."""
+  return jax.lax.dot_general(
+      a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+
+def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
+                       steps, block_rays):
+  """refs = (*w_refs, *dw_refs) in `_flatten_params` order."""
+  wrefs = refs[:N_WS]
+  grefs = refs[N_WS:]
+  assert len(grefs) == N_WS
+
+  @pl.when(pl.program_id(0) == 0)
+  def _zero():
+    for r in grefs:
+      r[...] = jnp.zeros(r.shape, r.dtype)
+
+  B, T = block_rays, steps
+  P = B * T
+  L = len(CP_RESOLUTIONS)
+
+  def wb(k):      # density dense layer k = 0 (in) .. N_LAYERS+1 (out)
+    return wrefs[L + 2 * k][...], wrefs[L + 2 * k + 1][...]
+
+  def rwb(k):     # refl dense layer k
+    base = L + 2 * (N_LAYERS + 2)
+    return wrefs[base + 2 * k][...], wrefs[base + 2 * k + 1][...]
+
+  def acc_wb(k, dW, db):
+    grefs[L + 2 * k][...] += dW
+    grefs[L + 2 * k + 1][...] += db
+
+  def acc_rwb(k, dW, db):
+    base = L + 2 * (N_LAYERS + 2)
+    grefs[base + 2 * k][...] += dW
+    grefs[base + 2 * k + 1][...] += db
+
+  rays = rays_ref[:, :]
+  r_o, r_d = rays[:, 0:3], rays[:, 3:6]
+  ts = ts_ref[:, :]
+  pts = (r_o[:, None, :] + ts[0][None, :, None] * r_d[:, None, :]
+         ).reshape(P, 3)
+
+  # ---- forward recompute, stashing the chain in VMEM ----
+  xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)
+  fs = []                                        # per level: [f0, f1, f2]
+  enc_parts = []
+  hats = []                                      # hat bases per level/axis
+  for li, R in enumerate(CP_RESOLUTIONS):
+    lines = wrefs[li][...]
+    centers = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(
+        jnp.float32)
+    level_fs = []
+    level_hats = []
+    level = None
+    for axis in range(3):
+      v = xn[:, axis:axis + 1] * (R - 1)
+      w = jnp.maximum(1.0 - jnp.abs(v - centers), 0.0)
+      f = _dot(w, lines[axis])
+      level_fs.append(f)
+      level_hats.append(w.astype(jnp.bfloat16))
+      level = f if level is None else level * f
+    fs.append(level_fs)
+    hats.append(level_hats)
+    enc_parts.append(level)
+  enc = jnp.concatenate(enc_parts, axis=-1).astype(jnp.bfloat16)
+
+  def dense_fwd(h, k, refl=False):
+    w, b = rwb(k) if refl else wb(k)
+    return _dot(h, w) + b[0]
+
+  d_hs = []                                      # density post-activations
+  h = _leaky_relu(dense_fwd(enc, 0))
+  d_hs.append(h)
+  for i in range(N_LAYERS):
+    if i % SKIP == 0 and i > 0:
+      h = jnp.concatenate([h, enc], axis=-1)
+    h = _leaky_relu(dense_fwd(h, i + 1))
+    d_hs.append(h)
+  first_out = dense_fwd(h, N_LAYERS + 1)
+  density = first_out[:, 0:1]
+  feats = first_out[:, 1:1 + INTERMEDIATE]
+
+  elaz = elaz_ref[:, 0:2]
+  elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
+  r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1).astype(jnp.bfloat16)
+
+  r_zs = []                                      # refl pre-activations
+  z = dense_fwd(r_in, 0, refl=True)
+  r_zs.append(z.astype(jnp.bfloat16))
+  h = jnp.sin(30.0 * z).astype(jnp.bfloat16)
+  for i in range(R_LAYERS):
+    if i % SKIP == 0 and i > 0:
+      h = jnp.concatenate([h, r_in], axis=-1)
+    z = dense_fwd(h, i + 1, refl=True)
+    r_zs.append(z.astype(jnp.bfloat16))
+    h = jnp.sin(30.0 * z).astype(jnp.bfloat16)
+  rgb_raw = dense_fwd(h, R_LAYERS + 1, refl=True)         # [P, 3]
+  sig = jax.nn.sigmoid(rgb_raw)
+  eps = 1e-2
+  rgb = sig * (1 - 2 * eps) + 2 * eps                     # thin sigmoid
+
+  sigma = jax.nn.softplus(density - 1.0)
+  d_bt = sigma.reshape(B, T)
+  rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))
+  dists = dists_ref[:, :] * rd_norm                       # [B, T]
+  alpha = 1.0 - jnp.exp(-d_bt * dists)
+  one_m_alpha = jnp.maximum(1.0 - alpha, 1e-10)  # see forward: XLA
+  # reassociates `1 - alpha + eps`, so clamp instead of adding eps
+  log_t = jnp.log(one_m_alpha)
+  row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+  lower = (row < col).astype(jnp.float32)
+  excl = jax.lax.dot_general(
+      log_t, lower, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  trans = jnp.exp(excl)                                   # T_t
+  weights = alpha * trans
+
+  # ---- backward: compositing ----
+  g = g_ref[:, :]                                         # [B, 4]
+  A = jnp.broadcast_to(g[:, 3:4], (B, T))                 # dL/dw_t (acc)
+  drgb_cols = []
+  for c in range(3):
+    rc = rgb[:, c:c + 1].reshape(B, T)
+    A = A + g[:, c:c + 1] * rc
+    drgb_cols.append((g[:, c:c + 1] * weights).reshape(P, 1))
+  drgb = jnp.concatenate(drgb_cols, axis=-1)              # [P, 3]
+
+  M = A * weights
+  upper = (row > col).astype(jnp.float32)                 # G[s, t] = s > t
+  S = jax.lax.dot_general(
+      M, upper, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # Σ_{s>t} A_s w_s
+  dalpha = A * trans - S / one_m_alpha
+  dsig_bt = dalpha * dists * (1.0 - alpha)                # exp(-σD) = 1-α
+  ddensity = (dsig_bt.reshape(P, 1)
+              * jax.nn.sigmoid(density - 1.0))            # [P, 1]
+
+  drgb_raw = drgb * (1 - 2 * eps) * sig * (1 - sig)       # [P, 3]
+
+  # ---- backward: refl MLP ----
+  h_last = jnp.sin(30.0 * r_zs[R_LAYERS])
+  w_out, _ = rwb(R_LAYERS + 1)
+  acc_rwb(R_LAYERS + 1, _dot_t(h_last, drgb_raw),
+          jnp.sum(drgb_raw, axis=0, keepdims=True))
+  dh = _dot_nt(drgb_raw, w_out)
+  dr_in = jnp.zeros((P, r_in.shape[-1]), jnp.float32)
+  for i in range(R_LAYERS - 1, -1, -1):
+    z = r_zs[i + 1]
+    dz = dh * (30.0 * jnp.cos(30.0 * z.astype(jnp.float32)))
+    if i % SKIP == 0 and i > 0:
+      x_i = jnp.concatenate([jnp.sin(30.0 * r_zs[i]), r_in], axis=-1)
+    else:
+      x_i = jnp.sin(30.0 * r_zs[i])
+    w_i, _ = rwb(i + 1)
+    acc_rwb(i + 1, _dot_t(x_i, dz), jnp.sum(dz, axis=0, keepdims=True))
+    dx = _dot_nt(dz, w_i)
+    if i % SKIP == 0 and i > 0:
+      dh = dx[:, :R_HIDDEN]
+      dr_in = dr_in + dx[:, R_HIDDEN:]
+    else:
+      dh = dx
+  z0 = r_zs[0]
+  dz0 = dh * (30.0 * jnp.cos(30.0 * z0.astype(jnp.float32)))
+  w_rin, _ = rwb(0)
+  acc_rwb(0, _dot_t(r_in, dz0), jnp.sum(dz0, axis=0, keepdims=True))
+  dr_in = dr_in + _dot_nt(dz0, w_rin)
+  dfeats = dr_in[:, 5:5 + INTERMEDIATE]                   # pts/elaz: no grad
+
+  # ---- backward: density MLP ----
+  d_first = jnp.concatenate([ddensity, dfeats], axis=-1)  # [P, 33]
+  w_dout, _ = wb(N_LAYERS + 1)
+  acc_wb(N_LAYERS + 1, _dot_t(d_hs[N_LAYERS], d_first),
+         jnp.sum(d_first, axis=0, keepdims=True))
+  dh = _dot_nt(d_first, w_dout)
+  denc = jnp.zeros((P, ENC_DIM), jnp.float32)
+
+  def leaky_mask(hv):
+    return jnp.where(hv >= 0, 1.0, 0.01)
+
+  for i in range(N_LAYERS - 1, -1, -1):
+    dz = dh * leaky_mask(d_hs[i + 1])
+    if i % SKIP == 0 and i > 0:
+      x_i = jnp.concatenate([d_hs[i], enc], axis=-1)
+    else:
+      x_i = d_hs[i]
+    w_i, _ = wb(i + 1)
+    acc_wb(i + 1, _dot_t(x_i, dz), jnp.sum(dz, axis=0, keepdims=True))
+    dx = _dot_nt(dz, w_i)
+    if i % SKIP == 0 and i > 0:
+      dh = dx[:, :HIDDEN]
+      denc = denc + dx[:, HIDDEN:]
+    else:
+      dh = dx
+  dz = dh * leaky_mask(d_hs[0])
+  w_din, _ = wb(0)
+  acc_wb(0, _dot_t(enc, dz), jnp.sum(dz, axis=0, keepdims=True))
+  denc = denc + _dot_nt(dz, w_din)
+
+  # ---- backward: CP encoder (lines only; no position grads) ----
+  off = 0
+  for li, R in enumerate(CP_RESOLUTIONS):
+    dlevel = denc[:, off:off + CP_RANK]
+    off += CP_RANK
+    f0, f1, f2 = fs[li]
+    others = (f1 * f2, f0 * f2, f0 * f1)
+    for axis in range(3):
+      df = dlevel * others[axis]
+      dl = _dot_t(hats[li][axis], df)                     # [R, K]
+      grefs[li][axis] = grefs[li][axis] + dl
+
+
+def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
+                   interpret):
+  N = rays.shape[0]
+  assert N % block_rays == 0, (N, block_rays)
+  kernel = functools.partial(_render_bwd_kernel, steps=steps,
+                             block_rays=block_rays)
+  grid = (N // block_rays,)
+  in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((block_rays, 2), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((1, steps), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((1, steps), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)]
+  out_specs, out_shapes = [], []
+  for w in ws:
+    in_specs.append(pl.BlockSpec(
+        w.shape, lambda i, nd=w.ndim: (0,) * nd,
+        memory_space=pltpu.VMEM))
+    out_specs.append(pl.BlockSpec(
+        w.shape, lambda i, nd=w.ndim: (0,) * nd,
+        memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+  return pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=in_specs,
+      out_specs=out_specs,
+      out_shape=out_shapes,
+      interpret=interpret,
+  )(rays, elaz, g, ts, dists, *ws)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_diff_render(steps, block_rays, bwd_block_rays, interpret):
+  """Per-config custom-VJP fused render: (ws, rays, elaz, ts, dists) ->
+  [N, 4]. Gradients flow to the weights only (rays/ts get zeros — camera
+  training stays on the XLA oracle path)."""
+
+  @jax.custom_vjp
+  def render(ws, rays, elaz, ts, dists):
+    ws_bf = tuple(
+        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in ws)
+    return _forward_call(ws_bf, rays, elaz, ts, dists, steps=steps,
+                         block_rays=block_rays, interpret=interpret)
+
+  def fwd(ws, rays, elaz, ts, dists):
+    return render(ws, rays, elaz, ts, dists), (ws, rays, elaz, ts, dists)
+
+  def bwd(res, g):
+    ws, rays, elaz, ts, dists = res
+    ws_bf = tuple(
+        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in ws)
+    dws = _backward_call(ws_bf, rays, elaz, ts, dists, g, steps=steps,
+                         block_rays=bwd_block_rays, interpret=interpret)
+    dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+    return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
+            jnp.zeros_like(ts), jnp.zeros_like(dists))
+
+  render.defvjp(fwd, bwd)
+  return render
+
+
+def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
+                                t_near: float = 2.0, t_far: float = 6.0,
+                                block_rays: int = DEFAULT_BLOCK_RAYS,
+                                bwd_block_rays: int = BWD_BLOCK_RAYS,
+                                interpret: bool = False):
+  """Differentiable fused render for the training path: [N, 6] -> [N, 4]
+  with gradients w.r.t. `params` via the custom-VJP backward kernel.
+
+  `ts` [1, T] optionally supplies (stratified) sample positions — pass
+  the per-step jittered vector for reference-parity training noise; the
+  default is the uniform eval grid. N must be a multiple of block_rays
+  AND bwd_block_rays.
+  """
+  ws = tuple(_flatten_params(params))
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret)
+  return render(ws, rays, elaz, ts, dists)

@@ -61,6 +61,20 @@ def load_config(path: str) -> Optional[Dict[str, Any]]:
   return None
 
 
+def save_camera(path: str, camera):
+  """Serialize a camera pytree (--cam-save-load analog,
+  reference runner.py:1227,1253-1255)."""
+  os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+  with open(path, "wb") as f:
+    f.write(serialization.to_bytes(camera))
+
+
+def load_camera(path: str, like):
+  """Restore a camera pytree onto a template (the dataset's camera)."""
+  with open(path, "rb") as f:
+    return serialization.from_bytes(like, f.read())
+
+
 def graft(fresh: Any, saved: Any) -> Tuple[Any, list, list]:
   """Merge a saved params tree into a freshly-initialized one.
 
@@ -105,7 +119,8 @@ def restore_or_graft(path: str, fresh_params, replace=()):
     saved = _drop_subtrees(saved, tuple(replace))
   merged, restored, skipped = graft(fresh_params, saved)
   return merged, {"restored": restored, "skipped": skipped,
-                  "step": int(raw.get("step", 0))}
+                  "step": int(raw.get("step", 0)),
+                  "opt_state": raw.get("opt_state")}
 
 
 def _drop_subtrees(tree, names: Tuple[str, ...]):

@@ -28,7 +28,7 @@ import numpy as np
 from ..data import sampler as sampler_lib
 from ..parallel import mesh as mesh_lib
 from . import checkpoints, losses as losses_lib, optim as optim_lib
-from .regularizers import total_regularizer
+from .regularizers import point_regularizers, total_regularizer
 
 
 @dataclass
@@ -56,22 +56,95 @@ class TrainConfig:
   use_mesh: bool = False
   train_camera: bool = False   # optimize camera extrinsics jointly
   profile_dir: Optional[str] = None
+  save_load_opt: bool = False  # checkpoint optimizer state too
+  pixel_jitter: float = 1.0    # centered sub-pixel ray jitter extent
+  crop_size: int = 0           # >0: train on [V, c, c] image crops (the
+                               # reference's batch shape) — required by
+                               # image-structured losses (ssim/fft/style)
+  style_img: Optional[str] = None   # style-transfer target image path
+  style_weight: float = 0.0
+  inc_fourier_freqs: bool = False   # grow Fourier feature freqs per step
+  inc_fourier_rate: float = 1.0005
+  train_only: Optional[str] = None  # restrict updates to params whose
+                                    # path contains this (e.g. "refl")
+  alt_train: int = 0           # >0: alternate analytic/learned refl
+                               # training every N steps (--alt-train)
+
+
+def _light_kwargs(model, ds, view_idx):
+  """{'lights', 'view_idx'} when the dataset carries lights AND the model's
+  __call__ accepts them (the relighting chain: nerv_point-style data ->
+  Point lights -> occ/integrator inside the model)."""
+  if getattr(ds, "lights", None) is None:
+    return {}
+  import inspect
+  try:
+    sig = inspect.signature(type(model).__call__)
+  except (TypeError, ValueError):
+    return {}
+  if "lights" not in sig.parameters:
+    return {}
+  return {"lights": ds.lights, "view_idx": view_idx}
 
 
 def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
                extra_kwargs: Optional[dict] = None):
   """Initialize params from one sampled batch."""
   key = jax.random.PRNGKey(seed)
-  rays, _, t = ds.sample_rays(key, 8)
+  rays, _, t, view = ds.sample(key, 8)
   kwargs = dict(extra_kwargs or {})
   if t is not None:
     kwargs["times"] = t
+  kwargs.update(_light_kwargs(model, ds, view))
   return model.init({"params": key, "sampler": jax.random.PRNGKey(seed + 1)},
                     rays, train=True, **kwargs)
 
 
+def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
+                    mesh):
+  """The differentiable fused Pallas kernel for the training step when
+  the config is the flagship single-chip path (PlainNeRF-cp, flat ray
+  batches, no lights/times/camera-training, no out-dict regularizers —
+  point-sampled regularizers still work, they evaluate separately).
+  Returns fn(params, rays, key) -> [N, 4] or None (XLA oracle)."""
+  try:
+    from ..models import PlainNeRF
+    from .regularizers import REGULARIZERS
+    if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
+        or model.sky_kind != "black" or model.mip is not None
+        or model.refl_kind != "view" or model.intermediate_size != 32
+        or model.latent_size != 0 or model.sigmoid_kind != "thin"
+        or model.refl_space != "identity" or model.density_noise != 0
+        or model.per_ray_jitter or model.lindisp
+        or jax.default_backend() == "cpu"):
+      return None
+    if (extra_kwargs or cfg.train_camera or cfg.crop_size > 0
+        or mesh is not None or ds.times is not None
+        or getattr(ds, "lights", None) is not None
+        or cfg.batch_size % 64 != 0
+        or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)):
+      return None
+    from ..ops.pallas.render import (fused_plain_cp_render_train,
+                                     _flatten_params)
+    _flatten_params(params)  # raises if the param structure diverges
+    from ..ops import rays as rays_ops
+
+    def fn(p, rays, key):
+      # shared stratified jitter, matching the oracle's train-time ts
+      ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                               perturb=1.0, key=key)[None]
+      return fused_plain_cp_render_train(
+          p, rays, ts, steps=model.steps, t_near=model.t_near,
+          t_far=model.t_far)
+
+    return fn
+  except Exception:  # noqa: BLE001 — any mismatch falls back to the oracle
+    return None
+
+
 def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
-                    extra_kwargs: Optional[dict] = None, mesh=None):
+                    extra_kwargs: Optional[dict] = None, mesh=None,
+                    fused_train=None):
   """Build the jitted train step (params, opt_state, key) -> ... .
 
   With cfg.train_camera, `params` is {"model": ..., "camera": <pytree>}
@@ -88,8 +161,10 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
     batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     assert cfg.batch_size % mesh.size == 0, (cfg.batch_size, mesh.size)
 
-  def step(params, opt_state, key):
-    k1, k2 = jax.random.split(key)
+  style_fn = _make_style_fn(cfg)
+
+  def step(params, opt_state, key, phase):
+    k1, k2, k3 = jax.random.split(key, 3)
 
     def compute_loss(p):
       if cfg.train_camera:
@@ -97,26 +172,69 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         model_params = p["model"]
       else:
         ds_p, model_params = ds, p
-      rays, pix, t = ds_p.sample_rays(k1, cfg.batch_size)
-      if mesh is not None:
-        rays = jax.lax.with_sharding_constraint(rays, batch_sharding)
-        pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
+      if cfg.crop_size > 0:
+        c = cfg.crop_size
+        vpb = max(1, cfg.batch_size // (c * c))
+        rays, pix, t, view = ds_p.sample_crop(k1, c, views_per_batch=vpb,
+                                              jitter=cfg.pixel_jitter)
         if t is not None:
-          t = jax.lax.with_sharding_constraint(t, batch_sharding)
+          t = jnp.broadcast_to(t[:, None, None], (vpb, c, c))
+        view = jnp.broadcast_to(view[:, None, None], (vpb, c, c))
+      else:
+        rays, pix, t, view = ds_p.sample(k1, cfg.batch_size,
+                                         jitter=cfg.pixel_jitter)
+        if mesh is not None:
+          rays = jax.lax.with_sharding_constraint(rays, batch_sharding)
+          pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
+          if t is not None:
+            t = jax.lax.with_sharding_constraint(t, batch_sharding)
+          view = jax.lax.with_sharding_constraint(view, batch_sharding)
+      if fused_train is not None:
+        pred = fused_train(model_params, rays, k2)[:, :3]
+        main = loss_fn(pred, pix)
+        reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs)
+        return main + reg, main
       kwargs = dict(extra)
       if t is not None:
         kwargs["times"] = t
+      kwargs.update(_light_kwargs(model, ds_p, view))
       out = model.apply(model_params, rays, train=True,
                         rngs={"sampler": k2}, **kwargs)
       pred = out["rgb"]
+      if "throughput" in out and pix.shape[-1] > 3:
+        # differentiable silhouette channel vs the dataset mask (SDF-style
+        # masked supervision, reference runner.py:598)
+        pred = jnp.concatenate([pred, out["throughput"]], axis=-1)
       main = loss_fn(pred, pix)
       if "coarse_rgb" in out:  # hierarchical: supervise both passes
         main = main + loss_fn(out["coarse_rgb"], pix)
+      if style_fn is not None:
+        main = main + cfg.style_weight * style_fn(out["rgb"])
       reg = total_regularizer(out, cfg.reg_coeffs)
+      reg = reg + point_regularizers(model, model_params, k3,
+                                     cfg.reg_coeffs)
       return main + reg, main
 
     (loss, main), grads = jax.value_and_grad(compute_loss,
                                              has_aux=True)(params)
+    if cfg.train_only:
+      # --train-parts refl analog (reference runner.py:1266-1280): only
+      # the selected parameter group receives gradient
+      grads = jax.tree_util.tree_map_with_path(
+          lambda path, g: g if cfg.train_only in
+          jax.tree_util.keystr(path) else jnp.zeros_like(g), grads)
+    if cfg.alt_train > 0:
+      # --alt-train (reference runner.py:1150-1154): freeze the analytic
+      # and learned halves of an alternating reflectance in turn; `phase`
+      # is a traced 0/1 scalar so no retrace per toggle
+      def alt_mask(path, g):
+        ks = jax.tree_util.keystr(path)
+        if "analytic" in ks:
+          return g * phase
+        if "learned" in ks:
+          return g * (1.0 - phase)
+        return g
+      grads = jax.tree_util.tree_map_with_path(alt_mask, grads)
     updates, opt_state = tx.update(grads, opt_state, params)
     import optax
     params = optax.apply_updates(params, updates)
@@ -128,8 +246,14 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
 def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
           params=None, config_dict: Optional[dict] = None,
           extra_kwargs: Optional[dict] = None,
-          callback: Optional[Callable] = None):
-  """The outer loop. Returns (params, opt_state, history)."""
+          callback: Optional[Callable] = None,
+          opt_state_saved=None):
+  """The outer loop. Returns (params, opt_state, history).
+
+  `opt_state_saved`: raw state dict from a checkpoint (the
+  `--save-load-opt` analog) — deserialized onto the fresh optimizer
+  template so Adam moments survive resume.
+  """
   loss_fn = losses_lib.load_loss_fn(cfg.loss_kinds, cfg.color_spaces,
                                     cfg.tone_map, cfg.gamma_correct)
   tx = optim_lib.load_optimizer(
@@ -144,12 +268,20 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
     params = {"model": params,
               "camera": jax.tree.map(jnp.copy, ds.camera)}
   opt_state = tx.init(params)
+  if opt_state_saved is not None:
+    from flax import serialization
+    opt_state = serialization.from_state_dict(opt_state, opt_state_saved)
   mesh = None
   if cfg.use_mesh and jax.device_count() > 1:
     from ..parallel import make_mesh
     mesh = make_mesh()
+  fused_train = _fused_train_fn(
+      model, cfg, ds, extra_kwargs,
+      params["model"] if cfg.train_camera else params, mesh)
+  if fused_train is not None:
+    print("[train] fused Pallas train kernel engaged")
   step_fn = make_train_step(model, ds, loss_fn, tx, cfg, extra_kwargs,
-                            mesh=mesh)
+                            mesh=mesh, fused_train=fused_train)
 
   from ..utils.profiling import step_timer, trace
   timer = step_timer()
@@ -159,10 +291,19 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   with trace(cfg.profile_dir):
     for i in range(cfg.steps):
       key, k = jax.random.split(key)
-      params, opt_state, metrics = step_fn(params, opt_state, k)
+      phase = jnp.float32((i // cfg.alt_train) % 2 if cfg.alt_train else 0)
+      params, opt_state, metrics = step_fn(params, opt_state, k, phase)
+      if cfg.inc_fourier_freqs:
+        params = _scale_fourier_freqs(params, cfg.inc_fourier_rate)
       timer.tick()
       if (i + 1) % cfg.log_freq == 0 or i == 0:
         m = {k2: float(v) for k2, v in metrics.items()}
+        if not math.isfinite(m["loss"]):
+          # the reference asserts loss finiteness every step
+          # (runner.py:673,818); without it a NaN run silently burns the
+          # whole step budget
+          raise FloatingPointError(
+              f"non-finite loss {m['loss']} at step {i + 1}")
         m["step"] = i + 1
         m["psnr"] = float(losses_lib.mse2psnr(m["mse"]))
         m["steps_per_sec"] = timer.steps_per_sec
@@ -171,6 +312,7 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
           callback(m)
       if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
         checkpoints.save(cfg.save_path, params, config=config_dict,
+                         opt_state=opt_state if cfg.save_load_opt else None,
                          step=i + 1, versioned=cfg.versioned_save)
       if cfg.valid_freq and (i + 1) % cfg.valid_freq == 0:
         _save_valid_image(model, params, ds, cfg, i + 1, extra_kwargs)
@@ -178,11 +320,49 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
         break
   if cfg.save_freq:
     checkpoints.save(cfg.save_path, params, config=config_dict,
+                     opt_state=opt_state if cfg.save_load_opt else None,
                      step=cfg.steps)
   # with train_camera the returned params keep the {"model", "camera"}
   # structure — callers must render with the TRAINED camera, not the
   # initial one (the runner rebinds ds.camera from it)
   return params, opt_state, history
+
+
+def _scale_fourier_freqs(params, rate: float):
+  """--inc-fourier-freqs (reference runner.py:826-829): multiply every
+  Fourier-encoder frequency matrix (param leaves named 'B') by `rate`
+  each step, growing the representable detail over training."""
+  def scale(path, leaf):
+    last = path[-1]
+    name = getattr(last, "key", None)
+    return leaf * rate if name == "B" else leaf
+
+  return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def _make_style_fn(cfg: TrainConfig):
+  """Gram-matrix style loss against cfg.style_img (reference's
+  --style-img, runner.py:553-554). Requires crop-mode batches; the
+  StyleLoss feature stack is a frozen random basis initialized once."""
+  if not cfg.style_img or cfg.style_weight <= 0:
+    return None
+  assert cfg.crop_size > 0, "--style-img requires crop-based training"
+  import imageio.v2 as imageio
+  from ..nn.misc import StyleLoss
+  img = np.asarray(imageio.imread(cfg.style_img), np.float32)
+  if img.max() > 1.5:
+    img = img / 255.0
+  import cv2
+  img = cv2.resize(img[..., :3], (cfg.crop_size, cfg.crop_size))
+  style = jnp.asarray(img)[None]                     # [1, c, c, 3]
+  mod = StyleLoss()
+  sp = mod.init(jax.random.PRNGKey(0), style, style)
+
+  def style_fn(pred_rgb):                            # [V, c, c, 3]
+    s = jnp.broadcast_to(style, pred_rgb.shape)
+    return mod.apply(sp, pred_rgb, s)
+
+  return style_fn
 
 
 def _fused_render_fn(model, params):
@@ -194,7 +374,11 @@ def _fused_render_fn(model, params):
     if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
         or model.sky_kind != "black" or model.mip is not None
         or model.refl_kind != "view" or model.intermediate_size != 32
-        or model.latent_size != 0 or jax.default_backend() == "cpu"):
+        or model.latent_size != 0 or model.sigmoid_kind != "thin"
+        or model.refl_space != "identity"
+        or jax.default_backend() == "cpu"):
+      # the kernel hardcodes the 'thin' rgb sigmoid and identity refl
+      # space; any other config must render through the XLA oracle
       return None
     from ..ops.pallas import fused_plain_cp_render
     from ..ops.pallas.render import DEFAULT_BLOCK_RAYS, _flatten_params
@@ -296,12 +480,21 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
                 mode: str = "rgb"):
   """Tiled no-grad rendering of one full view -> [S, S, C].
 
-  mode: "rgb" | "depth" (expected termination depth) | "acc" (opacity).
+  mode: "rgb" | "depth" (expected termination depth) | "acc" (opacity)
+  | "normals" | "flow" (deformation) | "rigidity" — the reference's test
+  visualizations (runner.py:511-538), weight-integrated along the ray.
   """
   rs = render_size or ds.size
   rays = ds.view_rays(view, rs)
   n = rays.shape[0]
   extra = dict(extra_kwargs or {})
+  if getattr(ds, "lights", None) is not None or (
+      getattr(model, "occ_kind", None) is not None):
+    # relightable eval: per-sample occlusion marches multiply the
+    # working set by march-steps × lights — large chunks OOM HBM
+    chunk = min(chunk, 4096)
+  extra.update(_light_kwargs(
+      model, ds, jnp.full((chunk,), view, jnp.int32)))
 
   fused = _fused_render_fn(model, params) if mode == "rgb" else None
 
@@ -318,6 +511,16 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
       return integrate.depth_from_weights(out["weights"], out["ts"])
     if mode == "acc":
       return jnp.sum(out["weights"], axis=-1, keepdims=True)
+    if mode in ("normals", "flow", "rigidity"):
+      from ..ops import integrate
+      key = {"normals": "normals", "flow": "dp", "rigidity": "rigidity"}
+      val = out.get(key[mode])
+      if val is None:
+        raise KeyError(f"model emits no '{key[mode]}' (mode={mode})")
+      w = out["weights"]
+      if val.ndim == w.ndim + 1:           # per-sample [..., T, C]
+        return integrate.volumetric_integrate(w, val)
+      return val                            # per-ray already
     return out["rgb"]
 
   t = None
@@ -341,26 +544,46 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
 def test(model, params, ds: sampler_lib.RayDataset,
          out_dir: str = "outputs", render_size: Optional[int] = None,
          with_ssim: bool = False, save_images: bool = True,
-         extra_kwargs: Optional[dict] = None, save_depth: bool = False):
+         extra_kwargs: Optional[dict] = None, save_depth: bool = False,
+         chunk: int = 65536, extra_maps: tuple = ()):
   """Per-view PSNR + summary stats; writes results.txt + test_###.png
-  (+ depth_###.png with save_depth — reference runner.py:879-920)."""
+  (+ depth_###.png with save_depth; + <map>_###.png for each of
+  extra_maps ⊆ {normals, flow, rigidity} — reference runner.py:511-538,
+  :879-920). `chunk` = rays per tiled render call (--test-crop-size²)."""
   os.makedirs(out_dir, exist_ok=True)
   psnrs, ssims = [], []
   lines = []
   for v in range(ds.num_views):
-    img = render_view(model, params, ds, v, render_size,
+    img = render_view(model, params, ds, v, render_size, chunk=chunk,
                       extra_kwargs=extra_kwargs)
     if save_depth:
       import imageio.v2 as imageio
-      d = render_view(model, params, ds, v, render_size,
+      d = render_view(model, params, ds, v, render_size, chunk=chunk,
                       extra_kwargs=extra_kwargs, mode="depth")[..., 0]
       dmin, dmax = float(d.min()), float(d.max())
       dn = (d - dmin) / max(dmax - dmin, 1e-6)
       imageio.imwrite(os.path.join(out_dir, f"depth_{v:03d}.png"),
                       (dn * 255).astype(np.uint8))
+    for m in extra_maps:
+      import imageio.v2 as imageio
+      vis = render_view(model, params, ds, v, render_size, chunk=chunk,
+                        extra_kwargs=extra_kwargs, mode=m)
+      if m == "normals":
+        vis = vis * 0.5 + 0.5                      # [-1,1] -> [0,1]
+      elif m == "flow":
+        vis = np.abs(vis) / max(float(np.abs(vis).max()), 1e-6)
+      if vis.shape[-1] == 1:
+        vis = np.repeat(vis, 3, axis=-1)
+      imageio.imwrite(os.path.join(out_dir, f"{m}_{v:03d}.png"),
+                      (np.clip(vis[..., :3], 0, 1) * 255).astype(np.uint8))
     ref = np.asarray(ds.pixels[v])[..., :3]
     if img.shape[:2] != ref.shape[:2]:
+      # PSNR against a resampled reference is not a parity-grade number;
+      # say so instead of silently resizing (the render was requested at
+      # a different resolution than the dataset)
       import cv2
+      print(f"[test] view {v}: comparing at {img.shape[:2]} against "
+            f"resized reference {ref.shape[:2]} — PSNR is approximate")
       ref = cv2.resize(ref, img.shape[:2][::-1])
     mse = float(np.mean((img[..., :3] - ref) ** 2))
     p = float(-10 * math.log10(max(mse, 1e-10)))
@@ -370,7 +593,7 @@ def test(model, params, ds: sampler_lib.RayDataset,
       s = float(losses_lib.ms_ssim(jnp.asarray(img[..., :3]),
                                 jnp.asarray(ref)))
       ssims.append(s)
-      line += f"  SSIM {s:.4f}"
+      line += f"  MS-SSIM {s:.4f}"
     lines.append(line)
     if save_images:
       import imageio.v2 as imageio

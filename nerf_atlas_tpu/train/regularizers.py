@@ -79,6 +79,12 @@ def volsdf_scale(out, **_):
   return out.get("scale", 0.0)
 
 
+def occ_decay(out, **_):
+  """Decay learned occlusion toward 'visible' — shadows must earn their
+  keep from data (reference runner.py:766)."""
+  return out.get("occ_decay", 0.0)
+
+
 REGULARIZERS: Dict[str, Callable] = {
     "latent_l2": latent_l2,
     "eikonal": eikonal,
@@ -91,6 +97,7 @@ REGULARIZERS: Dict[str, Callable] = {
     "tv_rigidity": voxel_tv_rigidity,
     "weight_sparsity": weight_sparsity,
     "volsdf_scale": volsdf_scale,
+    "occ_decay": occ_decay,
 }
 
 
@@ -104,9 +111,17 @@ def total_regularizer(out: Dict[str, Any], coeffs: Dict[str, float]):
 
 
 # --- point-sampled regularizers (need extra model evaluations) -----------
+#
+# Each samples random points (and directions/times) and evaluates the
+# model through a named flax method: `normals`, `sdf_value`,
+# `occ_attenuation`, `query`, `delta_x`. The driver dispatches these by
+# coefficient name via `point_regularizers` below. Reference analogs:
+# runner.py:681-808 (smooth normals :711, smooth surface :730, smooth occ
+# :745-765, view variance :701, dyn divergence :694-698, spline length
+# :784, spline pt0 :788, random eikonal :692).
 
-def smooth_normals(model_apply, params, key, n: int = 1024,
-                   eps: float = 1e-2, method: str = "normals_at"):
+def smooth_normals(model_apply, params, key, n: int = 512,
+                   eps: float = 1e-2, method: str = "normals"):
   """E‖n(x) − n(x+ε)‖² over random points — smooth shading fields."""
   k1, k2 = jax.random.split(key)
   pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
@@ -116,9 +131,114 @@ def smooth_normals(model_apply, params, key, n: int = 1024,
   return jnp.mean(jnp.square(n0 - n1))
 
 
-def eikonal_random(model_apply, params, key, n: int = 1024,
-                   method: str = "normals_at"):
+def eikonal_random(model_apply, params, key, n: int = 512,
+                   method: str = "normals"):
   """Eikonal on uniform random points (not just ray samples)."""
   pts = jax.random.uniform(key, (n, 3), minval=-1.5, maxval=1.5)
   g = model_apply(params, pts, method=method)
   return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=-1) - 1.0))
+
+
+def smooth_surface(model_apply, params, key, n: int = 512,
+                   eps: float = 1e-2, sharp: float = 8.0):
+  """Normal smoothness weighted toward the zero set: points with small
+  |sdf| dominate (exp(−sharp·|sdf|) weighting)."""
+  k1, k2 = jax.random.split(key)
+  pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
+  delta = eps * jax.random.normal(k2, (n, 3))
+  sd = model_apply(params, pts, method="sdf_value")
+  w = jnp.exp(-sharp * jnp.abs(jax.lax.stop_gradient(sd)))
+  n0 = model_apply(params, pts, method="normals")
+  n1 = model_apply(params, pts + delta, method="normals")
+  return jnp.mean(w * jnp.sum(jnp.square(n0 - n1), axis=-1))
+
+
+def smooth_occ(model_apply, params, key, n: int = 512, eps: float = 1e-2):
+  """E‖att(x, l) − att(x+ε, l)‖² over random points and light dirs."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
+  dirs = jax.random.normal(k2, (n, 3))
+  dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, -1, keepdims=True), 1e-8)
+  delta = eps * jax.random.normal(k3, (n, 3))
+  a0 = model_apply(params, pts, dirs, method="occ_attenuation")
+  a1 = model_apply(params, pts + delta, dirs, method="occ_attenuation")
+  return jnp.mean(jnp.square(a0 - a1))
+
+
+def view_variance(model_apply, params, key, n: int = 256):
+  """Penalize view dependence of radiance inside occupied space: the same
+  point queried from two random view dirs should agree, weighted by
+  (stop-gradient) density."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
+  v1 = jax.random.normal(k2, (n, 3))
+  v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, -1, keepdims=True), 1e-8)
+  v2 = jax.random.normal(k3, (n, 3))
+  v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, -1, keepdims=True), 1e-8)
+  o1 = model_apply(params, pts, method="query", view=v1)
+  o2 = model_apply(params, pts, method="query", view=v2)
+  density, rgb1 = o1[0], o1[1]
+  rgb2 = o2[1]
+  w = 1.0 - jnp.exp(-0.1 * jax.nn.relu(jax.lax.stop_gradient(density)))
+  return jnp.mean(w[..., None] * jnp.square(rgb1 - rgb2))
+
+
+def dyn_divergence(model_apply, params, key, n: int = 512):
+  """FFJORD-style divergence penalty on the deformation field via the
+  Hutchinson estimator: E[(εᵀ J_dp ε)²] with Rademacher ε."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
+  t = jax.random.uniform(k2, (n, 1))
+  eps = jax.random.rademacher(k3, (n, 3), dtype=pts.dtype)
+
+  def dp_fn(p):
+    return model_apply(params, p, t, method="delta_x")
+
+  _, jv = jax.jvp(dp_fn, (pts,), (eps,))
+  div_est = jnp.sum(eps * jv, axis=-1)
+  return jnp.mean(jnp.square(div_est))
+
+
+def spline_length(model_apply, params, key, n: int = 256, t_samples: int = 8):
+  """Arc length of each point's deformation path over t ∈ [0,1] — short
+  trajectories are physically plausible (reference runner.py:784)."""
+  pts = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+  ts = jnp.linspace(0.0, 1.0, t_samples)
+  ptsb = jnp.broadcast_to(pts, (t_samples, n, 3))
+  tb = jnp.broadcast_to(ts[:, None, None], (t_samples, n, 1))
+  dp = model_apply(params, ptsb, tb, method="delta_x")
+  seg = jnp.linalg.norm(dp[1:] - dp[:-1], axis=-1)
+  return jnp.mean(jnp.sum(seg, axis=0))
+
+
+def spline_pt0(model_apply, params, key, n: int = 256):
+  """Pin the t=0 deformation to zero (canonical frame at t=0)."""
+  pts = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+  dp0 = model_apply(params, pts, jnp.zeros((n, 1)), method="delta_x")
+  return jnp.mean(jnp.square(dp0))
+
+
+POINT_REGULARIZERS: Dict[str, Callable] = {
+    "smooth_normals": smooth_normals,
+    "eikonal_random": eikonal_random,
+    "smooth_surface": smooth_surface,
+    "smooth_occ": smooth_occ,
+    "view_variance": view_variance,
+    "dyn_divergence": dyn_divergence,
+    "spline_length": spline_length,
+    "spline_pt0": spline_pt0,
+}
+
+
+def point_regularizers(model, params, key, coeffs: Dict[str, float]):
+  """Sum of coeff * point-sampled reg for every nonzero coefficient.
+  Traced inside the jitted train step (extra model evaluations)."""
+  total = 0.0
+  active = [(n, c) for n, c in coeffs.items()
+            if c and n in POINT_REGULARIZERS]
+  if not active:
+    return total
+  keys = jax.random.split(key, len(active))
+  for k, (name, c) in zip(keys, active):
+    total = total + c * POINT_REGULARIZERS[name](model.apply, params, k)
+  return total

@@ -24,12 +24,25 @@ class HyperParameters:
       node = node[part]
     return kind(node) if kind is not None else node
 
-  def apply_to_args(self, args, parser=None):
-    """Override argparse defaults with file values (explicit CLI flags
-    win). Flat keys use underscores or dashes."""
+  def apply_to_args(self, args, parser=None, argv=None):
+    """Override argparse defaults with file values; explicitly-passed CLI
+    flags win. Flat keys use underscores or dashes.
+
+    Precedence needs the parser: a dest counts as explicit when any of
+    its option strings appears in argv (handles --flag v and --flag=v).
+    Without a parser every file value applies (legacy behavior).
+    """
+    import sys
+    argv = argv if argv is not None else sys.argv[1:]
+    explicit = set()
+    if parser is not None:
+      for action in parser._actions:
+        if any(a == opt or a.startswith(opt + "=")
+               for opt in action.option_strings for a in argv):
+          explicit.add(action.dest)
     for key, val in self.data.items():
       attr = key.replace("-", "_")
-      if hasattr(args, attr):
+      if hasattr(args, attr) and attr not in explicit:
         setattr(args, attr, val)
     return args
 

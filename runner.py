@@ -22,13 +22,13 @@ import time
 import numpy as np
 
 
-def arguments():
+def arguments(argv=None):
   a = argparse.ArgumentParser(description="TPU-native nerf_atlas")
   a.add_argument("-d", "--data", default="", help="path to data")
   a.add_argument("--data-kind", default=None,
                  choices=[None, "original", "dnerf", "dtu", "nerv_point",
                           "single_video", "pixel-single", "synthetic",
-                          "synthetic-dyn"],
+                          "synthetic-dyn", "synthetic-lit"],
                  help="dataset loader (default: derived from path)")
   a.add_argument("--size", type=int, default=64, help="training image size")
   a.add_argument("--outdir", default="outputs")
@@ -43,6 +43,10 @@ def arguments():
   a.add_argument("--steps", type=int, default=64, help="samples per ray")
   a.add_argument("--near", type=float, default=2.0)
   a.add_argument("--far", type=float, default=6.0)
+  a.add_argument("--lindisp", action="store_true",
+                 help="sample linearly in disparity instead of depth")
+  a.add_argument("--per-ray-jitter", action="store_true",
+                 help="independent per-ray stratified sample jitter")
   a.add_argument("--mip", default=None, choices=[None, "cone", "cylinder"])
   a.add_argument("--sigmoid-kind", default="thin")
   a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
@@ -97,6 +101,12 @@ def arguments():
                  choices=["adam", "adamw", "sgd", "rmsprop", "uniform_adam"])
   a.add_argument("--loss-fns", nargs="+", default=["l2"],
                  choices=["l2", "l1", "rmse", "fft", "ssim"])
+  a.add_argument("--crop-size", type=int, default=0,
+                 help="train on [V,c,c] image crops instead of flat ray "
+                      "batches (auto-enabled for ssim/fft/style losses)")
+  a.add_argument("--style-img", default=None,
+                 help="style-transfer target image (enables style loss)")
+  a.add_argument("--style-img-weight", type=float, default=1e-2)
   a.add_argument("--color-spaces", nargs="+", default=["rgb"],
                  choices=["rgb", "hsv", "luminance", "xyz"])
   a.add_argument("--tone-map", action="store_true")
@@ -108,6 +118,10 @@ def arguments():
                  help="gradient accumulation steps")
   a.add_argument("--seed", type=int, default=1337)
   a.add_argument("--duration-sec", type=float, default=0.0)
+  a.add_argument("--inc-fourier-freqs", action="store_true",
+                 help="grow Fourier encoder frequencies during training")
+  a.add_argument("--time-gamma", type=float, default=1.0,
+                 help="gamma-warp normalized times (dnerf loader)")
 
   # regularizers
   a.add_argument("--latent-l2-weight", type=float, default=0.0)
@@ -123,12 +137,31 @@ def arguments():
   a.add_argument("--tv-rigidity", type=float, default=0.0)
   a.add_argument("--weight-sparsity", type=float, default=0.0)
   a.add_argument("--volsdf-scale-decay", type=float, default=0.0)
+  a.add_argument("--occ-decay-weight", type=float, default=0.0,
+                 help="decay learned occlusion toward visible")
+  a.add_argument("--smooth-normals-weight", type=float, default=0.0)
+  a.add_argument("--smooth-surface-weight", type=float, default=0.0)
+  a.add_argument("--smooth-occ-weight", type=float, default=0.0)
+  a.add_argument("--view-variance-weight", type=float, default=0.0)
+  a.add_argument("--eikonal-random-weight", type=float, default=0.0,
+                 help="eikonal on uniform random points")
+  a.add_argument("--dyn-divergence-weight", type=float, default=0.0,
+                 help="FFJORD-style divergence of the deformation field")
+  a.add_argument("--spline-length-weight", type=float, default=0.0)
+  a.add_argument("--spline-pt0-weight", type=float, default=0.0)
 
   # reporting / io
   a.add_argument("--valid-freq", type=int, default=500)
   a.add_argument("--save-freq", type=int, default=1000)
   a.add_argument("--versioned-save", action="store_true")
   a.add_argument("--load", default=None, help="checkpoint to restore/graft")
+  a.add_argument("--save-load-opt", action="store_true",
+                 help="checkpoint and restore optimizer state too")
+  a.add_argument("--cam-save-load", default=None,
+                 help="path to save/restore the (trainable) camera")
+  a.add_argument("--alt-train", type=int, default=0,
+                 help=">0: toggle analytic/learned refl halves every N "
+                      "steps (alternating reflectance)")
   a.add_argument("--replace", nargs="+", default=[],
                  help="submodule names to re-init on load (surgery), e.g. "
                       "refl sky_mlp occ")
@@ -141,6 +174,12 @@ def arguments():
                  help="eval render resolution (0 = dataset size)")
   a.add_argument("--depth-images", action="store_true",
                  help="save normalized depth maps at test time")
+  a.add_argument("--normals-images", action="store_true",
+                 help="save integrated normal maps at test time")
+  a.add_argument("--flow-images", action="store_true",
+                 help="save deformation magnitude maps (dynamic models)")
+  a.add_argument("--rigidity-images", action="store_true",
+                 help="save rigidity maps (dynamic models)")
   a.add_argument("--msssim-loss", action="store_true",
                  help="also report SSIM at test time")
   a.add_argument("--render-over-time", type=int, default=-1,
@@ -163,10 +202,11 @@ def arguments():
                  help="capture a jax.profiler trace of the train loop")
   a.add_argument("--loss-window", type=int, default=50,
                  help="smoothing window for the loss plot")
-  args = a.parse_args()
+  args = a.parse_args(argv)
   if args.param_file:
     from nerf_atlas_tpu.utils import load_param_file
-    load_param_file(args.param_file).apply_to_args(args)
+    load_param_file(args.param_file).apply_to_args(args, parser=a,
+                                                   argv=argv)
   return args
 
 
@@ -175,13 +215,15 @@ def build_model(args, dynamic: bool):
   common = dict(steps=args.steps, t_near=args.near, t_far=args.far,
                 sky_kind=args.sky_kind, sigmoid_kind=args.sigmoid_kind,
                 intermediate_size=args.intermediate_size,
-                density_noise=args.density_noise)
+                density_noise=args.density_noise,
+                lindisp=args.lindisp, per_ray_jitter=args.per_ray_jitter)
   kind = args.model
   kwargs = dict(common)
   if kind in ("plain", "coarse_fine"):
     kwargs["refl_kind"] = args.refl_kind
     if kind == "plain":
       kwargs["mip"] = args.mip
+      kwargs["refl_space"] = args.space_kind
       if args.refl_kind == "weighted":
         kwargs["refl_kwargs"] = {
             "subrefl_kinds": tuple(args.weighted_subrefl_kinds)}
@@ -190,7 +232,11 @@ def build_model(args, dynamic: bool):
   elif kind == "volsdf":
     kwargs.update(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
                   occ_kind=args.occ_kind,
-                  integrator_kind=args.integrator_kind)
+                  integrator_kind=args.integrator_kind,
+                  # "field" is a learned light module owned by the model;
+                  # "point"/"dataset" lights ride the dataset instead
+                  light_kind=("field" if args.light_kind == "field"
+                              else None))
   elif kind == "sdf":
     kwargs = dict(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
                   isect_kind=args.isect_kind, t_near=max(args.near - 2, 0.0),
@@ -206,6 +252,13 @@ def build_model(args, dynamic: bool):
     kwargs.pop("intermediate_size", None)
   elif kind in ("rig",):
     kwargs["refl_kind"] = args.refl_kind
+  elif kind == "pixel-single":
+    # identity pinhole camera (the pixel-single loader's): uv derives
+    # from ray directions inside the model
+    kwargs.update(focal=args.size * 0.5, img_size=args.size,
+                  canonical_kwargs={"refl_kind": args.refl_kind})
+    kwargs.pop("intermediate_size", None)
+    kwargs.pop("density_noise", None)
 
   if not dynamic or args.dyn_model is None:
     return models.load_model(kind, **{k: v for k, v in kwargs.items()
@@ -230,6 +283,33 @@ def build_model(args, dynamic: bool):
   return models.load_dyn_model(args.dyn_model, **dyn_kwargs)
 
 
+def apply_light_kind(args, ds):
+  """Resolve --light-kind against the dataset (reference semantics:
+  lights participate only when the flag is set — runner.py:969-977,
+  src/refl.py:45-47).
+    dataset: loader-provided per-view lights (nerv_point / synthetic-lit)
+    point:   a point light collocated with each view's camera
+    field:   learned light module inside the model (no dataset lights)
+  """
+  if args.light_kind is None or args.light_kind == "field":
+    return ds.replace(lights=None)
+  if args.light_kind == "dataset":
+    if ds.lights is None:
+      raise ValueError("--light-kind dataset requires a dataset with "
+                       "lights (nerv_point or synthetic-lit)")
+    return ds
+  if args.light_kind == "point":
+    if ds.lights is not None:
+      return ds
+    from nerf_atlas_tpu.refl.lights import Point
+    c2w = getattr(ds.camera, "cam_to_world", None)
+    if c2w is None:
+      c2w = ds.camera.pose  # DTUCamera
+    origins = np.asarray(c2w[:, :3, 3])
+    return ds.replace(lights=Point.make(origins, intensity=10.0))
+  raise NotImplementedError(args.light_kind)
+
+
 def main():
   args = arguments()
   from nerf_atlas_tpu.data import load, sampler
@@ -239,15 +319,32 @@ def main():
   os.makedirs(args.outdir, exist_ok=True)
 
   load_kwargs = {}
-  if args.data_kind in ("synthetic", "synthetic-dyn"):
+  if args.data_kind in ("synthetic", "synthetic-dyn", "synthetic-lit"):
     load_kwargs["num_views"] = args.num_views
+  if args.data_kind == "dnerf" and args.time_gamma != 1.0:
+    load_kwargs["time_gamma"] = args.time_gamma
   bundle = load(args.data, data_kind=args.data_kind, training=True,
                 size=args.size, **load_kwargs)
   ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
+  ds = apply_light_kind(args, ds)
+  if args.cam_save_load and os.path.exists(args.cam_save_load):
+    from nerf_atlas_tpu.train.checkpoints import load_camera
+    ds = ds.replace(camera=load_camera(args.cam_save_load, ds.camera))
+    print(f"[camera] restored from {args.cam_save_load}")
   dynamic = ds.times is not None
   if args.neural_upsample:
     return run_neural_upsample(args, ds)
   model = build_model(args, dynamic)
+
+  extra_kwargs = None
+  if args.model == "pixel-single":
+    # conditioning image for the PixelNeRF path (uv derives from rays)
+    extra_kwargs = {"image": ds.pixels[0][..., :3]}
+
+  crop_size = args.crop_size
+  if crop_size == 0 and (set(args.loss_fns) & {"ssim", "fft"}
+                         or args.style_img):
+    crop_size = 32  # image-structured losses need image-shaped batches
 
   cfg = driver.TrainConfig(
       steps=args.epochs, batch_size=args.batch_size,
@@ -267,6 +364,15 @@ def main():
           "tv_rigidity": args.tv_rigidity,
           "weight_sparsity": args.weight_sparsity,
           "volsdf_scale": args.volsdf_scale_decay,
+          "occ_decay": args.occ_decay_weight,
+          "smooth_normals": args.smooth_normals_weight,
+          "smooth_surface": args.smooth_surface_weight,
+          "smooth_occ": args.smooth_occ_weight,
+          "view_variance": args.view_variance_weight,
+          "eikonal_random": args.eikonal_random_weight,
+          "dyn_divergence": args.dyn_divergence_weight,
+          "spline_length": args.spline_length_weight,
+          "spline_pt0": args.spline_pt0_weight,
       },
       grad_clip=args.clip_gradients, accum_steps=args.opt_step,
       no_sched=args.no_sched, sched_min=args.sched_min, seed=args.seed,
@@ -275,7 +381,14 @@ def main():
       save_path=args.save or os.path.join(args.outdir, "model.ckpt"),
       duration_sec=args.duration_sec,
       train_camera="camera" in args.train_parts,
+      train_only=("refl" if ("refl" in args.train_parts
+                             and "all" not in args.train_parts) else None),
       profile_dir=args.profile_dir,
+      save_load_opt=args.save_load_opt,
+      alt_train=args.alt_train,
+      inc_fourier_freqs=args.inc_fourier_freqs,
+      crop_size=crop_size,
+      style_img=args.style_img, style_weight=args.style_img_weight,
       use_mesh=args.mesh_devices != 1)
 
   config_dict = {**vars(args), "argv": sys.argv,
@@ -284,10 +397,13 @@ def main():
     json.dump(config_dict, f, indent=2, default=str)
 
   params = None
+  opt_saved = None
   if args.load:
-    fresh = driver.init_model(model, ds, cfg.seed)
+    fresh = driver.init_model(model, ds, cfg.seed, extra_kwargs)
     params, info = checkpoints.restore_or_graft(args.load, fresh,
                                                 replace=args.replace)
+    if args.save_load_opt:
+      opt_saved = info.get("opt_state")
     print(f"[load] restored {len(info['restored'])} tensors, "
           f"re-initialized {len(info['skipped'])} (step {info['step']})")
 
@@ -303,7 +419,9 @@ def main():
     else:
       params, _, history = driver.train(model, ds, cfg, params=params,
                                         config_dict=config_dict,
-                                        callback=log_cb)
+                                        callback=log_cb,
+                                        extra_kwargs=extra_kwargs,
+                                        opt_state_saved=opt_saved)
     if history:
       driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
                           window=args.loss_window)
@@ -311,24 +429,37 @@ def main():
       # rebind the dataset to the trained camera for eval rendering
       ds = ds.replace(camera=params["camera"])
       params = params["model"]
+    if args.cam_save_load:
+      from nerf_atlas_tpu.train.checkpoints import save_camera
+      save_camera(args.cam_save_load, ds.camera)
   elif params is None:
-    params = driver.init_model(model, ds, cfg.seed)
+    params = driver.init_model(model, ds, cfg.seed, extra_kwargs)
+
+  extra_maps = tuple(
+      m for m, on in [("normals", args.normals_images),
+                      ("flow", args.flow_images),
+                      ("rigidity", args.rigidity_images)] if on)
 
   results = {}
   if not args.notraintest:
     results["train"] = driver.test(
         model, params, ds, out_dir=os.path.join(args.outdir, "train"),
         render_size=args.render_size or None, with_ssim=args.msssim_loss,
-        save_depth=args.depth_images)
+        save_depth=args.depth_images, extra_kwargs=extra_kwargs,
+        extra_maps=extra_maps,
+        chunk=(args.test_crop_size ** 2 if args.test_crop_size else 65536))
     print("[train]", results["train"]["summary"])
   if not args.notest:
     tb = load(args.data, data_kind=args.data_kind, training=False,
               size=args.size, **load_kwargs)
     tds = sampler.RayDataset.from_bundle(tb, size=args.size)
+    tds = apply_light_kind(args, tds)
     results["test"] = driver.test(
         model, params, tds, out_dir=os.path.join(args.outdir, "test"),
         render_size=args.render_size or None, with_ssim=args.msssim_loss,
-        save_depth=args.depth_images)
+        save_depth=args.depth_images, extra_kwargs=extra_kwargs,
+        extra_maps=extra_maps,
+        chunk=(args.test_crop_size ** 2 if args.test_crop_size else 65536))
     print("[test]", results["test"]["summary"])
 
   if args.render_over_time >= 0 and dynamic:

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Measure the PyTorch reference's training throughput (rays/sec).
+
+Runs the reference's OWN hot loop (PlainNeRF forward -> MSE -> backward
+-> Adam step; /root/reference/src/nerf.py:310-361, runner.py:647-850)
+at the canonical `original` recipe's batch shape (crop 16x16 x 4 views
+= 1024 rays/step, 64 samples/ray; reference makefile:8-13).
+
+Harness accommodations (the reference cannot run unmodified on a
+CPU-only box — both are recorded honestly in BASELINE.md):
+  * torchvision is stubbed (only used by SpatialEncoder/StyleTransfer,
+    not by this path);
+  * nn.Module.cuda is a no-op (HashEncoder hardcodes `.cuda()` at
+    src/neural_blocks.py:144 — the reference's own CPU bug).
+
+Writes/updates BASELINE.json with the measured number and prints it.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+import torch
+
+
+def _stub_torchvision():
+  tv = types.ModuleType("torchvision")
+  tv.models = types.ModuleType("torchvision.models")
+  tfm = types.ModuleType("torchvision.transforms")
+  tff = types.ModuleType("torchvision.transforms.functional")
+  tv.transforms = tfm
+  tfm.functional = tff
+  sys.modules.update({
+      "torchvision": tv,
+      "torchvision.models": tv.models,
+      "torchvision.transforms": tfm,
+      "torchvision.transforms.functional": tff,
+  })
+
+
+def main(ref_path: str = "/root/reference", steps_timed: int = 30):
+  _stub_torchvision()
+  if not torch.cuda.is_available():
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # ref's .cuda() bug
+  sys.path.insert(0, ref_path)
+  from src import nerf
+
+  device = "cuda" if torch.cuda.is_available() else "cpu"
+  model = nerf.PlainNeRF(steps=64, t_near=2.0, t_far=6.0).to(device)
+  opt = torch.optim.Adam(model.parameters(), lr=5e-4)
+
+  B, H, W = 4, 16, 16                      # 1024 rays/step (makefile:8-13)
+  g = torch.Generator().manual_seed(0)
+  rays = torch.randn(B, H, W, 6, generator=g)
+  rays[..., 3:] = torch.nn.functional.normalize(rays[..., 3:], dim=-1)
+  rays = rays.to(device)
+  target = torch.rand(B, H, W, 3, generator=g).to(device)
+
+  model.train()
+
+  def step():
+    opt.zero_grad()
+    out = model(rays)
+    loss = ((out - target) ** 2).mean()
+    loss.backward()
+    opt.step()
+    return float(loss)
+
+  for _ in range(3):
+    step()                                  # warmup
+  if device == "cuda":
+    torch.cuda.synchronize()
+  t0 = time.perf_counter()
+  for _ in range(steps_timed):
+    step()
+  if device == "cuda":
+    torch.cuda.synchronize()
+  dt = time.perf_counter() - t0
+  rays_per_sec = steps_timed * B * H * W / dt
+
+  result = {
+      "reference_train_rays_per_sec": round(rays_per_sec, 2),
+      "device": device,
+      "torch_threads": torch.get_num_threads(),
+      "config": "PlainNeRF (hash enc) 64 steps, 1024 rays/step, Adam",
+      "timed_steps": steps_timed,
+  }
+  print(json.dumps(result))
+
+  base_path = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "BASELINE.json")
+  try:
+    with open(base_path) as f:
+      base = json.load(f)
+  except Exception:  # noqa: BLE001
+    base = {}
+  base["measured_reference"] = result
+  with open(base_path, "w") as f:
+    json.dump(base, f, indent=2)
+  return result
+
+
+if __name__ == "__main__":
+  main()

@@ -66,6 +66,20 @@ def sample_surface(key, sdf_fn, n, iters: int = 8):
   return pts
 
 
+def local_patch(pts, key, k: int = 128):
+  """Rescaled-local view of a point cloud: pick a random center among the
+  samples, take its k nearest neighbors, recenter, and rescale to unit
+  radius — the discriminator then judges local surface detail
+  independent of global scale (the reference's rescaled-local
+  discrimination)."""
+  c = pts[jax.random.randint(key, (), 0, pts.shape[0])]
+  d2 = jnp.sum(jnp.square(pts - c), axis=-1)
+  _, idx = jax.lax.top_k(-d2, k)
+  patch = pts[idx] - c
+  scale = jnp.sqrt(jnp.max(jnp.sum(patch * patch, -1))) + 1e-6
+  return patch / scale
+
+
 def main():
   args = arguments()
   os.makedirs(args.out, exist_ok=True)
@@ -73,27 +87,36 @@ def main():
   from nerf_atlas_tpu.nn import PointNet
 
   gen = models.load_sdf_shape("mlp")
-  disc = PointNet(feats=128)
+  disc = PointNet(feats=128)         # global shape discriminator
+  disc_local = PointNet(feats=64)    # rescaled-local patch discriminator
   tgt = target_sdf_fn(args)
+  k_local = min(128, args.batch)
 
   key = jax.random.PRNGKey(0)
   pts0 = jax.random.uniform(key, (args.batch, 3), minval=-1, maxval=1)
   gp = gen.init(jax.random.PRNGKey(1), pts0)
-  dp = disc.init(jax.random.PRNGKey(2), pts0)
+  dp = {"global": disc.init(jax.random.PRNGKey(2), pts0),
+        "local": disc_local.init(jax.random.PRNGKey(3), pts0[:k_local])}
   g_opt, d_opt = optax.adam(args.lr), optax.adam(args.lr)
   g_st, d_st = g_opt.init(gp), d_opt.init(dp)
 
   gen_sdf = lambda prm, p: gen.apply(prm, p)[0]
 
+  def discriminate(dp, pts, key):
+    """Global logit + rescaled-local patch logit."""
+    g = disc.apply(dp["global"], pts)
+    l = disc_local.apply(dp["local"], local_patch(pts, key, k_local))
+    return g + l
+
   @jax.jit
   def step(gp, dp, g_st, d_st, key):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     real = sample_surface(k1, tgt, args.batch)
 
     def d_loss_fn(dp):
       fake = sample_surface(k2, lambda p: gen_sdf(gp, p), args.batch)
-      dr = disc.apply(dp, real)
-      df = disc.apply(dp, jax.lax.stop_gradient(fake))
+      dr = discriminate(dp, real, k4)
+      df = discriminate(dp, jax.lax.stop_gradient(fake), k5)
       return (optax.sigmoid_binary_cross_entropy(dr, jnp.ones_like(dr))
               + optax.sigmoid_binary_cross_entropy(df, jnp.zeros_like(df))
               ).mean()
@@ -104,7 +127,7 @@ def main():
 
     def g_loss_fn(gp):
       fake = sample_surface(k3, lambda p: gen_sdf(gp, p), args.batch)
-      df = disc.apply(dp, fake)
+      df = discriminate(dp, fake, k5)
       gan = optax.sigmoid_binary_cross_entropy(
           df, jnp.ones_like(df)).mean()
       # eikonal keeps the generator a valid SDF

@@ -70,8 +70,10 @@ def test_ray_dataset_sampling():
   ds = sampler.RayDataset.from_bundle(bundle, size=32)
   rays, pix, t = ds.sample_rays(jax.random.PRNGKey(0), 128)
   assert rays.shape == (128, 6) and pix.shape == (128, 4) and t is None
-  rays, pix, t = ds.sample_crop(jax.random.PRNGKey(1), 8, views_per_batch=2)
+  rays, pix, t, view = ds.sample_crop(jax.random.PRNGKey(1), 8,
+                                      views_per_batch=2)
   assert rays.shape == (2, 8, 8, 6) and pix.shape == (2, 8, 8, 4)
+  assert view.shape == (2,)
 
 
 def test_view_rays_match_gt_pixels():

@@ -72,6 +72,29 @@ def test_dyn_spline_zero_at_t0():
   np.testing.assert_allclose(np.asarray(out["dp"]), 0.0, atol=1e-6)
 
 
+def test_long_dyn_c0_continuity():
+  """The poly-Bezier segments share endpoints: delta_x approached from
+  both sides of a segment boundary must agree (C0 stitch)."""
+  model = models.LongDynamicNeRF(**SMALL, canonical_kind="tiny",
+                                 segments=3, spline_points=3,
+                                 with_rigidity=False)
+  rays = _rays()
+  times = jnp.array([0.0, 0.3, 0.7, 1.0])
+  params = model.init(RNGS, rays, times=times, train=True)
+  pts = jax.random.uniform(jax.random.PRNGKey(4), (16, 3), minval=-1,
+                           maxval=1)
+  boundary = 1.0 / 3.0
+  eps = 1e-4
+  lo = model.apply(params, pts, jnp.full((16, 1), boundary - eps),
+                   method="delta_x")
+  hi = model.apply(params, pts, jnp.full((16, 1), boundary + eps),
+                   method="delta_x")
+  np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=5e-3)
+  # and t=0 is canonical (first control point pinned to zero)
+  dp0 = model.apply(params, pts, jnp.zeros((16, 1)), method="delta_x")
+  np.testing.assert_allclose(np.asarray(dp0), 0.0, atol=1e-6)
+
+
 def test_voxel_upsample_params():
   model = models.NeRFVoxel(resolution=8, **SMALL)
   rays = _rays()

@@ -1,10 +1,12 @@
-"""Fused Pallas render kernel vs the pure-JAX oracle (interpret mode)."""
+"""Fused Pallas render kernel vs the pure-JAX oracle (interpret mode):
+forward parity AND gradient parity (the custom-VJP backward kernel)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nerf_atlas_tpu import models
 from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
+from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_render_train
 
 
 def test_fused_render_matches_oracle():
@@ -24,3 +26,57 @@ def test_fused_render_matches_oracle():
   acc = oracle["weights"].sum(-1)
   np.testing.assert_allclose(np.asarray(fused[:, 3]), np.asarray(acc),
                              atol=2e-2)
+
+
+def test_fused_render_grad_matches_oracle():
+  """Backward kernel (custom VJP) vs jax.grad through the XLA oracle."""
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0, enc_kind="cp")
+  n = 32
+  key = jax.random.PRNGKey(3)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  # the opacity term makes the density-path gradients first-order (with
+  # an RGB-only loss on a random init they are ~1e-6 noise and the
+  # relative comparison is meaningless)
+  def loss_fused(p):
+    out = fused_plain_cp_render_train(p, rays, steps=16, t_near=2.0,
+                                      t_far=6.0, block_rays=16,
+                                      bwd_block_rays=16, interpret=True)
+    return (jnp.mean((out[:, :3] - target) ** 2)
+            + jnp.mean((out[:, 3] - 0.7) ** 2))
+
+  def loss_oracle(p):
+    out = model.apply(p, rays)
+    acc = out["weights"].sum(-1)
+    return (jnp.mean((out["rgb"] - target) ** 2)
+            + jnp.mean((acc - 0.7) ** 2))
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  # Criteria (measured headroom: global rel ≈ 0.008, min cosine ≈ 0.993):
+  #  - global relative Frobenius error < 3% (the gradient as a whole);
+  #  - per-tensor cosine > 0.98 (direction right everywhere — per-tensor
+  #    MAGNITUDE error on tiny-norm tensors is bf16 cancellation noise).
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  checked, num, den = 0, 0.0, 0.0
+  for path, g_fused in flat_f:
+    g_orc = flat_o[path]
+    gf_n, go_n = np.asarray(g_fused, np.float64), np.asarray(g_orc,
+                                                             np.float64)
+    num += np.sum((gf_n - go_n) ** 2)
+    den += np.sum(go_n ** 2)
+    cos = (gf_n * go_n).sum() / max(
+        np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
+    assert cos > 0.98, (jax.tree_util.keystr(path), cos)
+    if np.abs(go_n).max() > 0:
+      checked += 1
+  assert np.sqrt(num / den) < 0.03, np.sqrt(num / den)
+  assert checked > 20  # every weight/bias actually received gradient
