@@ -76,21 +76,26 @@ def bench_render(params, rays):
   from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
 
   @jax.jit
-  def render(params, rc):
+  def render(params, rc, acc):
     out = fused_plain_cp_render(params, rc, steps=STEPS, t_near=2.0,
                                 t_far=6.0)[:, :3]
-    return jnp.sum(out)
+    # fold into a running scalar: chains the chunks on device so ONE
+    # final host sync forces the whole frame (per-chunk float() would
+    # measure the remote-TPU tunnel round-trip, not the kernel)
+    return acc + jnp.sum(out)
 
   n = rays.shape[0]
   pad = (-n) % CHUNK
   rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
   chunks = [rays_p[i:i + CHUNK] for i in range(0, rays_p.shape[0], CHUNK)]
-  float(render(params, chunks[0]))               # compile + warm
+  float(render(params, chunks[0], jnp.float32(0)))   # compile + warm
   reps = 3
   t0 = time.perf_counter()
+  acc = jnp.float32(0)
   for _ in range(reps):
     for rc in chunks:
-      float(render(params, rc))                  # device->host sync
+      acc = render(params, rc, acc)
+  float(acc)                                     # single device->host sync
   dt = (time.perf_counter() - t0) / reps
   return (n + pad) / dt
 
@@ -134,7 +139,10 @@ def bench_train(params, fused: bool):
   t0 = time.perf_counter()
   for i in range(n):
     p, s, l = step(p, s, jax.random.fold_in(k, i))
-    float(l)                                     # device->host sync
+  # the param chain serializes the steps on device; syncing only the
+  # final loss forces all n steps without paying the remote-TPU tunnel
+  # round-trip per step
+  float(l)
   dt = time.perf_counter() - t0
   return n * TRAIN_BATCH / dt
 

@@ -290,6 +290,29 @@ def _dot_nt(a, b):
       preferred_element_type=jnp.float32)
 
 
+def _flatten_bt(m, B, T):
+  """[B, T] -> [B*T, 1] ray-major, WITHOUT a lane->sublane reshape.
+
+  Mosaic cannot lower the shape cast vector<BxTxf32> -> vector<(B·T)x1xf32>
+  (T lives in lanes; the flat layout needs it in sublanes). Instead:
+  an exact f32 selector matmul replicates each ray row T times
+  (S[p, b] = [b == p//T], [P, B] @ [B, T] on the MXU), then a lane mask
+  picks column p % T and a lane-reduction collapses to [P, 1].
+  """
+  P = B * T
+  rowsel = jnp.equal(
+      jax.lax.broadcasted_iota(jnp.int32, (P, B), 0) // T,
+      jax.lax.broadcasted_iota(jnp.int32, (P, B), 1)).astype(jnp.float32)
+  rep = jax.lax.dot_general(
+      rowsel, m,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                     # [P, T]
+  colsel = jnp.equal(
+      jax.lax.broadcasted_iota(jnp.int32, (P, T), 0) % T,
+      jax.lax.broadcasted_iota(jnp.int32, (P, T), 1)).astype(jnp.float32)
+  return jnp.sum(colsel * rep, axis=1, keepdims=True)
+
+
 def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
                        steps, block_rays):
   """refs = (*w_refs, *dw_refs) in `_flatten_params` order."""
@@ -411,7 +434,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   for c in range(3):
     rc = rgb[:, c:c + 1].reshape(B, T)
     A = A + g[:, c:c + 1] * rc
-    drgb_cols.append((g[:, c:c + 1] * weights).reshape(P, 1))
+    drgb_cols.append(_flatten_bt(g[:, c:c + 1] * weights, B, T))
   drgb = jnp.concatenate(drgb_cols, axis=-1)              # [P, 3]
 
   M = A * weights
@@ -421,13 +444,17 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
       preferred_element_type=jnp.float32)                 # Σ_{s>t} A_s w_s
   dalpha = A * trans - S / one_m_alpha
   dsig_bt = dalpha * dists * (1.0 - alpha)                # exp(-σD) = 1-α
-  ddensity = (dsig_bt.reshape(P, 1)
+  ddensity = (_flatten_bt(dsig_bt, B, T)
               * jax.nn.sigmoid(density - 1.0))            # [P, 1]
 
   drgb_raw = drgb * (1 - 2 * eps) * sig * (1 - sig)       # [P, 3]
 
   # ---- backward: refl MLP ----
-  h_last = jnp.sin(30.0 * r_zs[R_LAYERS])
+  def sin_f32(z):
+    # Mosaic has no bf16 sin; the stash is bf16, so upcast to evaluate
+    return jnp.sin(30.0 * z.astype(jnp.float32))
+
+  h_last = sin_f32(r_zs[R_LAYERS])
   w_out, _ = rwb(R_LAYERS + 1)
   acc_rwb(R_LAYERS + 1, _dot_t(h_last, drgb_raw),
           jnp.sum(drgb_raw, axis=0, keepdims=True))
@@ -437,9 +464,10 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
     z = r_zs[i + 1]
     dz = dh * (30.0 * jnp.cos(30.0 * z.astype(jnp.float32)))
     if i % SKIP == 0 and i > 0:
-      x_i = jnp.concatenate([jnp.sin(30.0 * r_zs[i]), r_in], axis=-1)
+      x_i = jnp.concatenate([sin_f32(r_zs[i]).astype(jnp.bfloat16), r_in],
+                            axis=-1)
     else:
-      x_i = jnp.sin(30.0 * r_zs[i])
+      x_i = sin_f32(r_zs[i])
     w_i, _ = rwb(i + 1)
     acc_rwb(i + 1, _dot_t(x_i, dz), jnp.sum(dz, axis=0, keepdims=True))
     dx = _dot_nt(dz, w_i)
@@ -464,7 +492,9 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   denc = jnp.zeros((P, ENC_DIM), jnp.float32)
 
   def leaky_mask(hv):
-    return jnp.where(hv >= 0, 1.0, 0.01)
+    # arithmetic in f32 (Mosaic supports neither vector<i1> relayouts nor
+    # bf16 compares here): 0.505 + 0.495·sign ≡ {1, 0.01}
+    return 0.505 + 0.495 * jnp.sign(hv.astype(jnp.float32))
 
   for i in range(N_LAYERS - 1, -1, -1):
     dz = dh * leaky_mask(d_hs[i + 1])
@@ -531,6 +561,10 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
       out_specs=out_specs,
       out_shape=out_shapes,
       interpret=interpret,
+      # the stashed activation chain overflows the 16MB default scoped
+      # budget; v5e has 128MB VMEM/core
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
   )(rays, elaz, g, ts, dists, *ws)
 
 
