@@ -61,6 +61,32 @@ synth-voxel:
 	  --near 1.5 --far 4.5 -lr 2e-2 --refl-kind pos --tv-sigma 1e-5 \
 	  --outdir outputs/synth_voxel
 
+synth-volsdf-alternate:  # alternate volume/surface supervision
+	$(PY) runner.py -d "" --data-kind synthetic --model volsdf --size 48 \
+	  --num-views 8 --epochs 1500 --batch-size 1024 --steps 32 \
+	  --near 1.5 --far 4.5 -lr 5e-4 --eikonal-weight 0.1 \
+	  --volsdf-alternate --alt-train 200 \
+	  --outdir outputs/synth_volsdf_alt
+
+synth-volsdf-to-path:  # checkpoint surgery: direct -> path conversion
+	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
+	  --size 32 --num-views 8 --epochs 400 --batch-size 512 --steps 16 \
+	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --light-kind dataset --integrator-kind direct \
+	  --save outputs/volsdf_direct/model.ckpt \
+	  --outdir outputs/volsdf_direct
+	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
+	  --size 32 --num-views 8 --epochs 400 --batch-size 512 --steps 16 \
+	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --light-kind dataset --integrator-kind direct \
+	  --volsdf-direct-to-path --load outputs/volsdf_direct/model.ckpt \
+	  --outdir outputs/volsdf_path
+
+synth-pixel-single:
+	$(PY) runner.py -d "" --data-kind synthetic --model pixel-single \
+	  --size 48 --num-views 1 --epochs 1000 --batch-size 1024 --steps 24 \
+	  --near 1.5 --far 4.5 -lr 5e-4 --outdir outputs/synth_pixel
+
 # ---- dataset experiments (mirror the reference's canonical recipes) ------
 
 original:  # NeRF-synthetic lego (reference makefile:8-13)
@@ -106,5 +132,6 @@ bench:
 	$(PY) bench.py
 
 .PHONY: synth-tiny synth-plain synth-ae synth-volsdf synth-dyn \
-  synth-dyn-spline synth-nerv synth-nerv-path synth-voxel original volsdf \
-  dnerf dnerf-spline dtu ae test bench
+  synth-dyn-spline synth-nerv synth-nerv-path synth-voxel \
+  synth-volsdf-alternate synth-volsdf-to-path synth-pixel-single \
+  original volsdf dnerf dnerf-spline dtu ae test bench

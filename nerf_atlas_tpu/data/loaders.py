@@ -82,12 +82,20 @@ def original(path: str, training: bool = True, size: int = 256,
 
 def dnerf(path: str, training: bool = True, size: int = 256,
           white_bg: bool = False, time_gamma: float = 1.0):
-  """D-NeRF format: frames carry a `time` field; times normalized to [0,1]
-  and sorted (reference src/loaders.py:103-150)."""
+  """D-NeRF format: frames carry a `time` (or Gibson `timestep`) field;
+  times normalized to [0,1] and sorted (reference src/loaders.py:103-150).
+
+  Gibson quirks (reference :113-124): camera_angle_x is in DEGREES and
+  transform matrices are world-to-camera (inverted here)."""
   kind = "train" if training else "test"
   with open(os.path.join(path, f"transforms_{kind}.json")) as f:
     meta = json.load(f)
-  frames = sorted(meta["frames"], key=lambda fr: fr.get("time", 0.0))
+  is_gibson = "gibson" in path.lower()
+
+  def frame_time(fr):
+    return float(fr.get("time", fr.get("timestep", 0.0)))
+
+  frames = sorted(meta["frames"], key=frame_time)
   imgs, poses, times = [], [], []
   for frame in frames:
     fp = os.path.join(path, frame["file_path"])
@@ -98,14 +106,22 @@ def dnerf(path: str, training: bool = True, size: int = 256,
       rgb, a = img[..., :3], img[..., 3:]
       img = np.concatenate([rgb * a + (1 - a), a], -1)
     imgs.append(img)
-    poses.append(np.asarray(frame["transform_matrix"], np.float32))
-    times.append(float(frame.get("time", 0.0)))
+    tf = np.asarray(frame["transform_matrix"], np.float32)
+    if is_gibson:
+      tf = np.linalg.inv(tf)
+    poses.append(tf)
+    times.append(frame_time(frame))
   imgs = np.stack(imgs)
   times = np.asarray(times, np.float32)
-  tmax = times.max() if times.max() > 0 else 1.0
-  times = (times / tmax) ** time_gamma
+  if times.min() < 0 or times.max() > 1:
+    span = max(times.max() - times.min(), 1e-8)
+    times = np.clip((times - times.min()) / span, 0.0, 1.0)
+  times = times ** time_gamma
+  cam_angle = float(meta["camera_angle_x"])
+  if is_gibson:
+    cam_angle *= np.pi / 180.0
   camera = cam_lib.NeRFCamera.from_json_transforms(
-      np.stack(poses), float(meta["camera_angle_x"]), size)
+      np.stack(poses), cam_angle, size)
   return DatasetBundle((imgs, times), camera, None)
 
 
@@ -164,15 +180,22 @@ def dtu(path: str, training: bool = True, size: int = 256,
 
 
 def nerv_point(path: str, training: bool = True, size: int = 200,
-               light_intensity: float = 100.0):
+               light_intensity: float = 100.0, multi_point: bool = False):
   """NeRV point-light data: EXR renders + masks + per-frame light/cam poses
-  (reference src/loaders.py:197-250). Returns point-light positions."""
+  (reference src/loaders.py:197-250). Returns point-light positions.
+
+  multi_point: load the multi-point-light split (frames 100+; the
+  reference weights each of the 8 lights at 55 — src/loaders.py:198,220)."""
   from .lights_io import read_exr  # lazy: EXR support is optional
   kind = "train" if training else "test"
   with open(os.path.join(path, f"transforms_{kind}.json")) as f:
     meta = json.load(f)
   imgs, poses, light_locs = [], [], []
-  for frame in meta["frames"]:
+  frames = (meta["frames"][100:] if multi_point
+            else meta["frames"][:100]) or meta["frames"]
+  if multi_point:
+    light_intensity = 55.0
+  for frame in frames:
     fp = os.path.join(path, frame["file_path"])
     img = read_exr(fp + ".exr") if os.path.exists(fp + ".exr") else _imread(fp + ".png")
     img = _resize(img, size)
@@ -194,14 +217,21 @@ def nerv_point(path: str, training: bool = True, size: int = 200,
 
 
 def single_video(path: str, training: bool = True, size: int = 256,
-                 fov: float = 60.0, max_frames: int = 200):
+                 fov: float = 60.0, max_frames: int = 200,
+                 start_sec: float = 0.0, end_sec: float = None):
   """Frames + normalized times from a video file, with an origin-pinned
-  FOV camera (reference src/loaders.py:279-298)."""
+  FOV camera (reference src/loaders.py:279-298). start_sec/end_sec crop
+  the loaded time window (--start-sec / --end-sec)."""
   import imageio.v2 as imageio
   reader = imageio.get_reader(path)
+  fps = float(reader.get_meta_data().get("fps", 30.0) or 30.0)
+  lo = int(start_sec * fps)
+  hi = int(end_sec * fps) if end_sec is not None else None
   frames = []
   for i, frame in enumerate(reader):
-    if i >= max_frames:
+    if i < lo:
+      continue
+    if (hi is not None and i >= hi) or len(frames) >= max_frames:
       break
     frames.append(_resize(np.asarray(frame, np.float32) / 255.0, size))
   imgs = np.stack(frames)

@@ -51,18 +51,30 @@ class RayDataset:
     return self.pixels.shape[0]
 
   def sample(self, key, batch_size: int, jitter: float = 0.0,
-             view_range: Optional[Tuple[int, int]] = None):
+             view_range: Optional[Tuple[int, int]] = None,
+             serial_step=None, end_bias: int = 0):
     """Uniform random rays over all views and pixels.
 
     view_range=(lo, hi) restricts sampling to views [lo, hi) — used by
     progressive long-video training to train one time window at a time.
+    serial_step: traced step index — train views in serial
+    (view = step % N, the reference's --serial-idxs, runner.py:637).
+    end_bias: >0 adds `end_bias` extra draws each of the first and last
+    view to the choice pool (--higher-end-chance, runner.py:632-635).
     Returns (rays [B, 6], pix [B, C], times [B] | None, view [B] int32)
     — `view` feeds per-view light selection for relightable models.
     """
     k1, k2, k3 = jax.random.split(key, 3)
     n, s = self.num_views, self.size
     lo, hi = view_range if view_range is not None else (0, n)
-    view = jax.random.randint(k1, (batch_size,), lo, hi)
+    if serial_step is not None:
+      view = jnp.full((batch_size,), serial_step % n, jnp.int32)
+    elif end_bias > 0:
+      u = jax.random.randint(k1, (batch_size,), lo, hi + 2 * end_bias)
+      view = jnp.where(u < hi, u,
+                       jnp.where(u < hi + end_bias, lo, hi - 1))
+    else:
+      view = jax.random.randint(k1, (batch_size,), lo, hi)
     xy = jax.random.randint(k2, (batch_size, 2), 0, s)
     pix = self.pixels[view, xy[:, 1], xy[:, 0]]
     rays = self.camera.rays_at(view, (xy + 0.5).astype(jnp.float32), s,

@@ -43,35 +43,52 @@ class DynamicNeRF(NeRFBase):
     kwargs.setdefault("t_far", self.t_far)
     kwargs.setdefault("sky_kind", self.sky_kind)
     kwargs.setdefault("sigmoid_kind", self.sigmoid_kind)
+    if self.time_latent_size > 0:
+      # --dyn-refl-latent: the warp passes a latent from the delta to the
+      # canonical reflectance (reference src/nerf.py:1209-1319)
+      kwargs["latent_size"] = (self.time_latent_size
+                               + kwargs.get("latent_size", 0))
     self.canonical = MODEL_KINDS[self.canonical_kind](**kwargs)
     enc = FourierEncoder(input_dims=4 if self.spline_points == 0 else 3,
                          freqs=32, sigma=16.0)
     out_width = 3 if self.spline_points == 0 else 3 * (self.spline_points - 1)
     self.warp = SkipConnMLP(
         in_size=4 if self.spline_points == 0 else 3,
-        out=out_width, enc=enc, num_layers=5, hidden_size=256,
-        zero_last=True, dtype=self.dtype, name="warp")
+        out=out_width + self.time_latent_size, enc=enc, num_layers=5,
+        hidden_size=256, zero_last=True, dtype=self.dtype, name="warp")
     if self.with_rigidity:
       self.rigidity = SkipConnMLP(in_size=3, out=1, num_layers=3,
                                   hidden_size=64, dtype=self.dtype,
                                   name="rigidity")
 
-  def delta_x(self, pts, t):
-    """Deformation at (pts [..., 3], t [..., 1]) -> dp [..., 3]."""
+  def delta_x_latent(self, pts, t):
+    """Deformation (+ optional per-time refl latent) at (pts [..., 3],
+    t [..., 1]) -> (dp [..., 3], tlat [..., time_latent_size] | None)."""
+    tlat = None
     if self.spline_points == 0:
-      dp = self.warp(jnp.concatenate([pts, t], axis=-1))
+      w = self.warp(jnp.concatenate([pts, t], axis=-1))
+      dp = w[..., :3]
+      if self.time_latent_size > 0:
+        tlat = w[..., 3:]
     else:
       # control points from an MLP over canonical position; first control
       # point pinned to 0 so t=0 is the canonical frame
-      ctrl = self.warp(pts).reshape(
-          pts.shape[:-1] + (self.spline_points - 1, 3))
+      w = self.warp(pts)
+      nw = 3 * (self.spline_points - 1)
+      ctrl = w[..., :nw].reshape(pts.shape[:-1] + (self.spline_points - 1, 3))
+      if self.time_latent_size > 0:
+        tlat = w[..., nw:]
       ctrl = jnp.concatenate([jnp.zeros_like(ctrl[..., :1, :]), ctrl],
                              axis=-2)
       ctrl = jnp.moveaxis(ctrl, -2, 0)       # [N_ctrl, ..., 3]
       dp = bezier.de_casteljau(ctrl, t, self.spline_points)
     if self.with_rigidity:
       dp = dp * jax.nn.sigmoid(self.rigidity(pts))
-    return dp
+    return dp, tlat
+
+  def delta_x(self, pts, t):
+    """Deformation at (pts [..., 3], t [..., 1]) -> dp [..., 3]."""
+    return self.delta_x_latent(pts, t)[0]
 
   def query(self, pts, view=None, latent=None, train: bool = False,
             t=None):
@@ -83,8 +100,10 @@ class DynamicNeRF(NeRFBase):
     assert times is not None, "dynamic model needs times"
     pts, ts, r_o, r_d = self.sample_points(rays, train)
     t = jnp.broadcast_to(times[..., None, None], pts.shape[:-1] + (1,))
-    dp = self.delta_x(pts, t)
+    dp, tlat = self.delta_x_latent(pts, t)
     lat = broadcast_latent(latents, pts.shape, self.latent_size)
+    if tlat is not None:
+      lat = tlat if lat is None else jnp.concatenate([tlat, lat], axis=-1)
     view = view_per_sample(r_d, self.steps)
     density, rgb = self.canonical.query(pts + dp, view=view, latent=lat,
                                         train=train)

@@ -25,8 +25,19 @@ from ..refl import load_refl
 
 
 class SDFModel(nn.Module):
-  """Base: latent size + shared normal/intersection helpers."""
+  """Base: latent size + shared normal/intersection helpers.
+
+  sphere_init: start the field as a unit sphere (the reference pre-fits
+  to a sphere by optimization, src/sdf.py:50-62 `set_to_sphere`; here the
+  analytic ‖p‖−1 bias achieves the same init exactly, so --sphere-init
+  toggles the bias instead of running a fitting loop)."""
   latent_out: int = 32
+  sphere_init: bool = True
+
+  def _sphere_bias(self, pts):
+    if not self.sphere_init:
+      return 0.0
+    return jnp.linalg.norm(pts, axis=-1) - 1.0
 
   def value(self, pts):
     return self(pts)[0]
@@ -47,7 +58,7 @@ class MLP(SDFModel):
         num_layers=6, hidden_size=256, name="mlp")
     out = mlp(pts)
     # bias init toward a unit sphere: add ||p|| - 1 analytic term scaled in
-    return out[..., 0] + jnp.linalg.norm(pts, axis=-1) - 1.0, out[..., 1:]
+    return out[..., 0] + self._sphere_bias(pts), out[..., 1:]
 
 
 class SIREN(SDFModel):
@@ -59,7 +70,7 @@ class SIREN(SDFModel):
                       init_kind="siren", num_layers=5, hidden_size=256,
                       name="mlp")
     out = mlp(pts)
-    return out[..., 0] + jnp.linalg.norm(pts, axis=-1) - 1.0, out[..., 1:]
+    return out[..., 0] + self._sphere_bias(pts), out[..., 1:]
 
 
 class CurlMLP(SDFModel):
@@ -175,6 +186,7 @@ class UnitSphere(SDFModel):
   @nn.compact
   def __call__(self, pts):
     inner = SDF_KINDS[self.inner_kind](latent_out=self.latent_out,
+                                       sphere_init=self.sphere_init,
                                        name="inner")
     sd, latent = inner(pts)
     bound = jnp.linalg.norm(pts, axis=-1) - self.radius
@@ -195,7 +207,8 @@ def load_sdf_shape(kind: str, latent_out: int = 32, bounded: bool = False,
                    bound_radius: float = 1.5, **kwargs):
   if bounded:
     return UnitSphere(inner_kind=kind, radius=bound_radius,
-                      latent_out=latent_out)
+                      latent_out=latent_out,
+                      sphere_init=kwargs.get("sphere_init", True))
   ctor = SDF_KINDS.get(kind)
   if ctor is None:
     raise NotImplementedError(f"unknown sdf kind {kind}")
@@ -217,13 +230,17 @@ class SDF(nn.Module):
   bounded: bool = True
   bound_radius: float = 1.5
   alpha: float = 500.0   # throughput sharpness
+  refl_kwargs: Any = None
+  sdf_kwargs: Any = None
 
   def setup(self):
     self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.latent_out,
                                 bounded=self.bounded,
-                                bound_radius=self.bound_radius)
+                                bound_radius=self.bound_radius,
+                                **(self.sdf_kwargs or {}))
     self.refl = load_refl(self.refl_kind, latent_size=self.latent_out,
-                          act=self.sigmoid_kind)
+                          act=self.sigmoid_kind,
+                          **(self.refl_kwargs or {}))
 
   def value(self, pts):
     return self.shape(pts)[0]

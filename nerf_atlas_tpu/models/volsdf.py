@@ -32,19 +32,29 @@ class VolSDF(NeRFBase):
   with_normals: bool = False
   path_samples: int = 4                   # secondary dirs for "path"
   path_march_steps: int = 16              # scan steps of the bounce march
+  refl_kwargs: Any = None                 # per-kind BRDF knobs (--refl-*)
+  occ_kwargs: Any = None                  # e.g. --all-learned-occ-kind
+  sdf_kwargs: Any = None                  # e.g. --sphere-init
 
   def setup(self):
-    self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.sdf_latent)
+    self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.sdf_latent,
+                                **(self.sdf_kwargs or {}))
     needs_normal = self.with_normals or self.integrator_kind is not None
     self.refl = load_refl(
         self.refl_kind,
         latent_size=self.sdf_latent + self.latent_size,
-        act=self.sigmoid_kind)
+        act=self.sigmoid_kind, **(self.refl_kwargs or {}))
     if self.occ_kind is not None:
-      self.occ = load_occlusion(self.occ_kind)
+      self.occ = load_occlusion(self.occ_kind, **(self.occ_kwargs or {}))
     if self.light_kind == "field":
+      from ..refl import LightAndRefl
       from ..refl.lights import Field
       self.light_field = Field()
+      # the reference pairs refl+light in a LightAndRefl wrapper whenever
+      # --light-kind is set (src/refl.py:45-68); query() reads the pair
+      # through it
+      self.light_refl = LightAndRefl(refl=self.refl,
+                                     light=self.light_field)
     self._needs_normal = needs_normal
     self.density_scale_raw = self.param(
         "density_scale", nn.initializers.constant(-2.3), ())
@@ -148,7 +158,7 @@ class VolSDF(NeRFBase):
     n = self.normals(pts) if use_normal else None
 
     if lights is None and self.light_kind == "field":
-      lights = self.light_field
+      lights = self.light_refl.light
     extras = {}
     if self.integrator_kind is None or lights is None:
       rgb = self.refl(pts, view=view, normal=n, latent=lat)
@@ -158,6 +168,37 @@ class VolSDF(NeRFBase):
       if self.integrator_kind == "path":
         rgb = rgb + self._one_bounce(pts, view, n, lat, lights, view_idx)
     return density, rgb, sdf_vals, n, extras
+
+  def surface_render(self, rays, times=None, latents=None,
+                     train: bool = False, view_idx=None, lights=None):
+    """Surface (root-found) rendering of the same SDF + reflectance —
+    the second half of --volsdf-alternate (reference
+    src/nerf.py:1133-1170 alternates this with volume rendering).
+    Returns {"rgb", "throughput", "hits"}; throughput is the
+    differentiable silhouette (sigmoid of -min-SDF along the ray)."""
+    from ..ops import march
+    del times, latents
+    r_o, r_d = rays[..., :3], rays[..., 3:6]
+    if self.is_initializing():
+      self.shape(r_o)   # materialize params outside lax control flow
+    pts, hits, _, tput = march.bisect(
+        self.sdf_value, r_o, r_d, iters=32,
+        near=self.t_near, far=self.t_far)
+    if tput is not None and tput.ndim == r_o.ndim - 1:
+      tput = tput[..., None]
+    _, lat = self.shape(pts)
+    n = self.normals(pts)
+    view = r_d / jnp.maximum(
+        jnp.linalg.norm(r_d, axis=-1, keepdims=True), 1e-8)
+    if lights is None and self.light_kind == "field":
+      lights = self.light_field
+    if self.integrator_kind is not None and lights is not None:
+      rgb, _ = self._direct(pts, view, n, lat, lights, view_idx)
+    else:
+      rgb = self.refl(pts, view=view, normal=n, latent=lat)
+    rgb = jnp.where(hits[..., None], rgb, 0.0)
+    return {"rgb": rgb, "hits": hits,
+            "throughput": jax.nn.sigmoid(-500.0 * tput)}
 
   def __call__(self, rays, times=None, latents=None, train: bool = False,
                view_idx=None, lights=None):

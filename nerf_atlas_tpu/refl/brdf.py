@@ -172,12 +172,17 @@ class PosLinearView(Reflectance):
 
 
 class Basic(Reflectance):
-  """Space + view + normal (+ light) MLP shading."""
+  """Space + view + normal (+ light) MLP shading.
+
+  normal_kind: how normals enter the MLP (--normal-kind, reference
+  runner.py:161-163): "raw" = normalized 3-vector, "elaz" = 2-angle
+  parameterization, None/"none" = omit normals entirely."""
   space: str = "identity"
+  normal_kind: Optional[str] = "raw"
 
   @property
   def can_use_normal(self):
-    return True
+    return self.normal_kind not in (None, "none")
 
   @property
   def can_use_view(self):
@@ -187,7 +192,9 @@ class Basic(Reflectance):
   def __call__(self, x, view=None, normal=None, light=None, latent=None):
     xs = SPACE_KINDS[self.space]()(x)
     parts = [xs, _elaz(view)]
-    if normal is not None:
+    if normal is not None and self.normal_kind == "elaz":
+      parts.append(_elaz(normalize(normal)))
+    elif normal is not None and self.normal_kind == "raw":
       parts.append(normalize(normal))
     if light is not None:
       parts.append(_elaz(light))

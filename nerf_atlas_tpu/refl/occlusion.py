@@ -75,10 +75,12 @@ class AllLearnedOcc(nn.Module):
 
 class JointLearnedConstOcc(nn.Module):
   """All-learned attenuation × raycast-constant shadows."""
+  use_dir: bool = True   # --all-learned-occ-kind of the nested module
 
   @nn.compact
   def __call__(self, pts, light_dir, isect_fn):
-    learned = AllLearnedOcc(name="all_learned")(pts, light_dir)
+    learned = AllLearnedOcc(use_dir=self.use_dir,
+                            name="all_learned")(pts, light_dir)
     const = LearnedConstantSoftLighting(name="const")(pts, light_dir,
                                                       isect_fn)
     return learned * const

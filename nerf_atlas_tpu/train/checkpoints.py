@@ -107,20 +107,63 @@ def graft(fresh: Any, saved: Any) -> Tuple[Any, list, list]:
   return merge(fresh, saved, ""), restored, skipped
 
 
-def restore_or_graft(path: str, fresh_params, replace=()):
+def restore_or_graft(path: str, fresh_params, replace=(), remaps=()):
   """Load `path` and graft onto `fresh_params`; tolerant of structure
   drift (the surgery path). `replace` names submodule keys to re-init
   even when the checkpoint matches (the `--replace refl/occ/sky/...`
   analog: any subtree whose key contains one of the names keeps its
-  fresh init). Returns (params, info dict)."""
+  fresh init). `remaps` is a sequence of (src_path, dst_path) key-tuples:
+  each moves a saved subtree to a new location before grafting — the
+  module-conversion mechanism (e.g. --all-learned-to-joint nests the old
+  AllLearnedOcc under occ/all_learned; reference runner.py:1095-1101).
+  Returns (params, info dict)."""
   raw = load(path)
   saved = raw.get("params", raw)
+  for src, dst in remaps:
+    saved = remap_subtree(saved, tuple(src), tuple(dst))
   if replace:
     saved = _drop_subtrees(saved, tuple(replace))
   merged, restored, skipped = graft(fresh_params, saved)
   return merged, {"restored": restored, "skipped": skipped,
                   "step": int(raw.get("step", 0)),
                   "opt_state": raw.get("opt_state")}
+
+
+def remap_subtree(tree, src: Tuple[str, ...], dst: Tuple[str, ...]):
+  """Move the subtree at key-path `src` to key-path `dst` (pure)."""
+  def get(t, path):
+    for k in path:
+      if not isinstance(t, dict) or k not in t:
+        return None
+      t = t[k]
+    return t
+
+  sub = get(tree, src)
+  if sub is None:
+    return tree
+
+  def drop(t, path):
+    if not path:
+      return None
+    if not isinstance(t, dict):
+      return t
+    out = {}
+    for k, v in t.items():
+      if k == path[0]:
+        v = drop(v, path[1:])
+        if v is None:
+          continue
+      out[k] = v
+    return out
+
+  def insert(t, path, sub_t):
+    if not path:
+      return sub_t
+    t = dict(t) if isinstance(t, dict) else {}
+    t[path[0]] = insert(t.get(path[0], {}), path[1:], sub_t)
+    return t
+
+  return insert(drop(tree, src), dst, sub)
 
 
 def _drop_subtrees(tree, names: Tuple[str, ...]):

@@ -69,6 +69,24 @@ class TrainConfig:
                                     # path contains this (e.g. "refl")
   alt_train: int = 0           # >0: alternate analytic/learned refl
                                # training every N steps (--alt-train)
+  weight_decay: float = 0.0    # --decay (reference runner.py:88,456)
+  serial_idxs: bool = False    # train views in serial (--serial-idxs)
+  end_bias: int = 0            # bias draws toward first/last view
+                               # (--higher-end-chance)
+  omit_bg: bool = False        # skip mostly-background batches with some
+                               # probability (--omit-bg; in-graph: the
+                               # loss is zeroed instead of the step
+                               # skipped, so jit sees one static shape)
+  skip_loss: int = 0           # suppress loss reporting for the first N
+                               # steps (--skip-loss)
+  freeze_substr: Optional[str] = None  # zero grads whose path contains
+                                       # this (--fix-canon: "canonical")
+  smooth_eps: float = 1e-3     # --smooth-eps
+  smooth_eps_rng: bool = False  # --smooth-eps-rng
+  smooth_ords: tuple = (2,)    # --smooth-n-ord
+  volsdf_alternate: bool = False  # --volsdf-alternate: alternate volume
+                                  # and surface-render supervision on the
+                                  # alt_train cadence
 
 
 def _light_kwargs(model, ds, view_idx):
@@ -122,8 +140,10 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         or mesh is not None or ds.times is not None
         or getattr(ds, "lights", None) is not None
         or cfg.batch_size % 64 != 0
-        or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)):
-      return None
+        or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)
+        or cfg.omit_bg):  # omit-bg's zeroed-loss gate lives in the
+      return None         # oracle branch only
+
     from ..ops.pallas.render import (fused_plain_cp_render_train,
                                      _flatten_params)
     _flatten_params(params)  # raises if the param structure diverges
@@ -163,8 +183,8 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
 
   style_fn = _make_style_fn(cfg)
 
-  def step(params, opt_state, key, phase):
-    k1, k2, k3 = jax.random.split(key, 3)
+  def step(params, opt_state, key, phase, step_i):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def compute_loss(p):
       if cfg.train_camera:
@@ -181,23 +201,52 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
           t = jnp.broadcast_to(t[:, None, None], (vpb, c, c))
         view = jnp.broadcast_to(view[:, None, None], (vpb, c, c))
       else:
-        rays, pix, t, view = ds_p.sample(k1, cfg.batch_size,
-                                         jitter=cfg.pixel_jitter)
+        rays, pix, t, view = ds_p.sample(
+            k1, cfg.batch_size, jitter=cfg.pixel_jitter,
+            serial_step=step_i if cfg.serial_idxs else None,
+            end_bias=cfg.end_bias)
         if mesh is not None:
           rays = jax.lax.with_sharding_constraint(rays, batch_sharding)
           pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
           if t is not None:
             t = jax.lax.with_sharding_constraint(t, batch_sharding)
           view = jax.lax.with_sharding_constraint(view, batch_sharding)
+      smooth_opts = {"eps": cfg.smooth_eps, "eps_rng": cfg.smooth_eps_rng,
+                     "ords": cfg.smooth_ords}
       if fused_train is not None:
         pred = fused_train(model_params, rays, k2)[:, :3]
         main = loss_fn(pred, pix)
-        reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs)
+        reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
+                                 smooth_opts)
         return main + reg, main
       kwargs = dict(extra)
       if t is not None:
         kwargs["times"] = t
       kwargs.update(_light_kwargs(model, ds_p, view))
+      if cfg.volsdf_alternate:
+        # --volsdf-alternate (reference src/nerf.py:1133-1170): half the
+        # cadence trains through volume rendering, half through the
+        # surface (root-found) render; lax.cond picks the loss branch so
+        # one compiled step serves both phases
+        def vol_loss():
+          out = model.apply(model_params, rays, train=True,
+                            rngs={"sampler": k2}, **kwargs)
+          return loss_fn(out["rgb"], pix) + total_regularizer(
+              out, cfg.reg_coeffs)
+
+        def surf_loss():
+          out = model.apply(model_params, rays, train=True,
+                            rngs={"sampler": k2},
+                            method="surface_render", **kwargs)
+          pred = out["rgb"]
+          if pix.shape[-1] > 3:
+            pred = jnp.concatenate([pred, out["throughput"]], axis=-1)
+          return loss_fn(pred, pix)
+
+        main = jax.lax.cond(phase < 0.5, vol_loss, surf_loss)
+        reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
+                                 smooth_opts)
+        return main + reg, main
       out = model.apply(model_params, rays, train=True,
                         rngs={"sampler": k2}, **kwargs)
       pred = out["rgb"]
@@ -212,7 +261,15 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         main = main + cfg.style_weight * style_fn(out["rgb"])
       reg = total_regularizer(out, cfg.reg_coeffs)
       reg = reg + point_regularizers(model, model_params, k3,
-                                     cfg.reg_coeffs)
+                                     cfg.reg_coeffs, smooth_opts)
+      if cfg.omit_bg:
+        # --omit-bg (reference runner.py:668-669): skip mostly-dark
+        # batches with probability sqrt-shaped in darkness; in-graph the
+        # "skip" is a zeroed loss (one static compiled shape)
+        u = jax.random.uniform(k4, ())
+        keep = (jnp.mean(pix[..., :3]) + 0.3 >= u * u).astype(main.dtype)
+        main = main * keep
+        reg = reg * keep
       return main + reg, main
 
     (loss, main), grads = jax.value_and_grad(compute_loss,
@@ -223,6 +280,11 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
       grads = jax.tree_util.tree_map_with_path(
           lambda path, g: g if cfg.train_only in
           jax.tree_util.keystr(path) else jnp.zeros_like(g), grads)
+    if cfg.freeze_substr:
+      # --fix-canon: the preloaded canonical stays frozen
+      grads = jax.tree_util.tree_map_with_path(
+          lambda path, g: jnp.zeros_like(g) if cfg.freeze_substr in
+          jax.tree_util.keystr(path) else g, grads)
     if cfg.alt_train > 0:
       # --alt-train (reference runner.py:1150-1154): freeze the analytic
       # and learned halves of an alternating reflectance in turn; `phase`
@@ -259,7 +321,8 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   tx = optim_lib.load_optimizer(
       cfg.opt_kind, cfg.learning_rate, total_steps=cfg.steps,
       sched_min=cfg.sched_min, no_sched=cfg.no_sched,
-      grad_clip=cfg.grad_clip, accum_steps=cfg.accum_steps)
+      grad_clip=cfg.grad_clip, accum_steps=cfg.accum_steps,
+      weight_decay=cfg.weight_decay)
   if params is None:
     params = init_model(model, ds, cfg.seed, extra_kwargs)
   if cfg.train_camera:
@@ -292,11 +355,12 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
     for i in range(cfg.steps):
       key, k = jax.random.split(key)
       phase = jnp.float32((i // cfg.alt_train) % 2 if cfg.alt_train else 0)
-      params, opt_state, metrics = step_fn(params, opt_state, k, phase)
+      params, opt_state, metrics = step_fn(params, opt_state, k, phase,
+                                           jnp.int32(i))
       if cfg.inc_fourier_freqs:
         params = _scale_fourier_freqs(params, cfg.inc_fourier_rate)
       timer.tick()
-      if (i + 1) % cfg.log_freq == 0 or i == 0:
+      if ((i + 1) % cfg.log_freq == 0 or i == 0) and i >= cfg.skip_loss:
         m = {k2: float(v) for k2, v in metrics.items()}
         if not math.isfinite(m["loss"]):
           # the reference asserts loss finiteness every step
@@ -541,29 +605,83 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
   return np.asarray(jnp.concatenate(outs).reshape(rs, rs, -1))
 
 
+def _depth_to_normals(depth):
+  """Normals from depth-map finite differences (--normals-from-depth,
+  reference runner.py:937 / src/utils.py depth_to_normals)."""
+  dzdx = np.gradient(depth, axis=1)
+  dzdy = np.gradient(depth, axis=0)
+  n = np.stack([-dzdx, -dzdy, np.ones_like(depth)], axis=-1)
+  return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+
+
+def _apply_colormap(gray01, cmap_kind: str):
+  """Colormap a [H, W] map in [0,1] (--draw-colormap/--plt-cmap-kind)."""
+  import matplotlib
+  cm = matplotlib.colormaps[cmap_kind]
+  return cm(np.clip(gray01, 0, 1))[..., :3]
+
+
 def test(model, params, ds: sampler_lib.RayDataset,
          out_dir: str = "outputs", render_size: Optional[int] = None,
          with_ssim: bool = False, save_images: bool = True,
          extra_kwargs: Optional[dict] = None, save_depth: bool = False,
-         chunk: int = 65536, extra_maps: tuple = ()):
+         chunk: int = 65536, extra_maps: tuple = (),
+         only_view: Optional[int] = None, white_bg: bool = False,
+         with_alpha: bool = False, exp_bg: bool = False,
+         colormap: Optional[str] = None, normals_from_depth: bool = False,
+         depth_query_normal: bool = False):
   """Per-view PSNR + summary stats; writes results.txt + test_###.png
   (+ depth_###.png with save_depth; + <map>_###.png for each of
   extra_maps ⊆ {normals, flow, rigidity} — reference runner.py:511-538,
-  :879-920). `chunk` = rays per tiled render call (--test-crop-size²)."""
+  :879-920). `chunk` = rays per tiled render call (--test-crop-size²).
+
+  only_view: --render-frame (test a single view). white_bg: composite
+  the reference over white via its alpha (--test-white-bg). with_alpha:
+  save RGBA using the accumulated opacity (--with-alpha). exp_bg:
+  multiply saved images by the label mask, vis only (--exp-bg).
+  colormap: matplotlib cmap name for the depth map (--draw-colormap +
+  --plt-cmap-kind). normals_from_depth / depth_query_normal: extra
+  normal maps from depth finite-differences / from the model's SDF
+  normals at the termination depth (reference runner.py:899-905,:937)."""
   os.makedirs(out_dir, exist_ok=True)
   psnrs, ssims = [], []
   lines = []
-  for v in range(ds.num_views):
+  views = range(ds.num_views) if only_view is None else [only_view]
+  for v in views:
     img = render_view(model, params, ds, v, render_size, chunk=chunk,
                       extra_kwargs=extra_kwargs)
-    if save_depth:
+    depth = None
+    if save_depth or normals_from_depth or depth_query_normal:
       import imageio.v2 as imageio
-      d = render_view(model, params, ds, v, render_size, chunk=chunk,
-                      extra_kwargs=extra_kwargs, mode="depth")[..., 0]
-      dmin, dmax = float(d.min()), float(d.max())
-      dn = (d - dmin) / max(dmax - dmin, 1e-6)
-      imageio.imwrite(os.path.join(out_dir, f"depth_{v:03d}.png"),
-                      (dn * 255).astype(np.uint8))
+      depth = render_view(model, params, ds, v, render_size, chunk=chunk,
+                          extra_kwargs=extra_kwargs, mode="depth")[..., 0]
+      if save_depth:
+        dmin, dmax = float(depth.min()), float(depth.max())
+        dn = (depth - dmin) / max(dmax - dmin, 1e-6)
+        dimg = (_apply_colormap(dn, colormap) if colormap
+                else np.repeat(dn[..., None], 3, -1))
+        imageio.imwrite(os.path.join(out_dir, f"depth_{v:03d}.png"),
+                        (np.clip(dimg, 0, 1) * 255).astype(np.uint8))
+    if normals_from_depth and depth is not None:
+      import imageio.v2 as imageio
+      dn = _depth_to_normals(depth * 100.0) * 0.5 + 0.5
+      imageio.imwrite(os.path.join(out_dir, f"depth_normals_{v:03d}.png"),
+                      (np.clip(dn, 0, 1) * 255).astype(np.uint8))
+    if depth_query_normal and depth is not None:
+      import imageio.v2 as imageio
+      rs = render_size or ds.size
+      rays = np.asarray(ds.view_rays(v, rs)).reshape(rs, rs, 6)
+      isect = rays[..., :3] + rays[..., 3:] * depth[..., None]
+      try:
+        n = np.asarray(model.apply(params, jnp.asarray(isect),
+                                   method=type(model).normals))
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        far = getattr(model, "t_far", 1e9)
+        n = np.where(depth[..., None] > far - 1e-1, 0.0, n * 0.5 + 0.5)
+        imageio.imwrite(os.path.join(out_dir, f"query_normals_{v:03d}.png"),
+                        (np.clip(n, 0, 1) * 255).astype(np.uint8))
+      except Exception as e:  # noqa: BLE001 — model has no normals method
+        print(f"[test] depth-query-normal unavailable: {e}")
     for m in extra_maps:
       import imageio.v2 as imageio
       vis = render_view(model, params, ds, v, render_size, chunk=chunk,
@@ -573,10 +691,17 @@ def test(model, params, ds: sampler_lib.RayDataset,
       elif m == "flow":
         vis = np.abs(vis) / max(float(np.abs(vis).max()), 1e-6)
       if vis.shape[-1] == 1:
-        vis = np.repeat(vis, 3, axis=-1)
+        if colormap:
+          vis = _apply_colormap(vis[..., 0], colormap)
+        else:
+          vis = np.repeat(vis, 3, axis=-1)
       imageio.imwrite(os.path.join(out_dir, f"{m}_{v:03d}.png"),
                       (np.clip(vis[..., :3], 0, 1) * 255).astype(np.uint8))
-    ref = np.asarray(ds.pixels[v])[..., :3]
+    ref_full = np.asarray(ds.pixels[v])
+    ref = ref_full[..., :3]
+    if white_bg and ref_full.shape[-1] > 3:
+      a = ref_full[..., 3:4]
+      ref = ref * a + (1.0 - a)
     if img.shape[:2] != ref.shape[:2]:
       # PSNR against a resampled reference is not a parity-grade number;
       # say so instead of silently resizing (the render was requested at
@@ -597,8 +722,15 @@ def test(model, params, ds: sampler_lib.RayDataset,
     lines.append(line)
     if save_images:
       import imageio.v2 as imageio
+      save = np.clip(img[..., :3], 0, 1)
+      if exp_bg and ref_full.shape[-1] > 3:
+        save = save * ref_full[..., 3:4]     # vis-only mask composite
+      if with_alpha:
+        acc = render_view(model, params, ds, v, render_size, chunk=chunk,
+                          extra_kwargs=extra_kwargs, mode="acc")
+        save = np.concatenate([save, np.clip(acc, 0, 1)], axis=-1)
       imageio.imwrite(os.path.join(out_dir, f"test_{v:03d}.png"),
-                      (np.clip(img[..., :3], 0, 1) * 255).astype(np.uint8))
+                      (save * 255).astype(np.uint8))
   arr = np.asarray(psnrs)
   summary = (f"PSNR mean {arr.mean():.3f} median {np.median(arr):.3f} "
              f"min {arr.min():.3f} max {arr.max():.3f} var {arr.var():.4f}")
@@ -611,8 +743,9 @@ def test(model, params, ds: sampler_lib.RayDataset,
           "psnrs": psnrs, "ssims": ssims, "summary": summary}
 
 
-def plot_history(history, out_path: str, window: int = 50):
-  """Smoothed loss curve PNG (reference runner.py:540-550)."""
+def plot_history(history, out_path: str, window: int = 50,
+                 yscale: str = "log"):
+  """Smoothed loss curve PNG (reference runner.py:540-550; --y-scale)."""
   import matplotlib
   matplotlib.use("Agg")
   import matplotlib.pyplot as plt
@@ -624,7 +757,7 @@ def plot_history(history, out_path: str, window: int = 50):
   ax.plot(steps, losses, alpha=0.3, label="loss")
   ax.plot(steps[len(steps) - len(smooth):], smooth, label="smoothed")
   ax.set_xlabel("step")
-  ax.set_yscale("log")
+  ax.set_yscale(yscale)
   ax.legend()
   fig.tight_layout()
   os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -634,11 +767,13 @@ def plot_history(history, out_path: str, window: int = 50):
 
 def render_over_time(model, params, ds: sampler_lib.RayDataset,
                      view: int = 0, frames: int = 24,
-                     render_size: Optional[int] = None):
-  """Fixed camera, sweep t in [0, 1] (reference runner.py:998-1039)."""
+                     render_size: Optional[int] = None,
+                     end_sec: float = 1.0):
+  """Fixed camera, sweep t in [0, end_sec] (reference runner.py:998-1039;
+  --render-over-time-steps / --render-over-time-end-sec)."""
   out = []
   for i in range(frames):
-    t = i / max(frames - 1, 1)
+    t = end_sec * i / max(frames - 1, 1)
     out.append(render_view(model, params, ds, view, render_size,
                            time_val=t))
   return np.stack(out)

@@ -134,7 +134,7 @@ def load_loss_fn(
     loss_kinds: Sequence[str] = ("l2",),
     color_spaces: Sequence[str] = ("rgb",),
     tone_map: bool = False,
-    gamma_correct: bool = False,
+    gamma_correct=False,
     style_weight: float = 0.0,
 ) -> Callable:
   """Compose the training loss (reference runner.py:552-603).
@@ -144,9 +144,14 @@ def load_loss_fn(
   pred's optional 4th channel (throughput) against it (SDF-style,
   runner.py:598), and RGB loss is computed everywhere (matching the
   reference's behavior of supervising full images).
+
+  `gamma_correct`: bool (True -> 2.2) or a float gamma (the reference's
+  --gamma-correct-loss takes an arbitrary float, runner.py:109-111).
   """
   fns = [LOSS_KINDS[k] for k in loss_kinds]
   spaces = [COLOR_SPACES[c] for c in color_spaces]
+  gamma = (2.2 if gamma_correct is True
+           else float(gamma_correct) if gamma_correct else 1.0)
 
   def loss(pred, target):
     pred_rgb = pred[..., :3]
@@ -154,9 +159,9 @@ def load_loss_fn(
     if tone_map:
       pred_rgb = pred_rgb / (1 + pred_rgb)
       targ_rgb = targ_rgb / (1 + targ_rgb)
-    if gamma_correct:
-      pred_rgb = jnp.sign(pred_rgb) * jnp.abs(pred_rgb) ** (1 / 2.2)
-      targ_rgb = jnp.sign(targ_rgb) * jnp.abs(targ_rgb) ** (1 / 2.2)
+    if gamma != 1.0:
+      pred_rgb = jnp.sign(pred_rgb) * jnp.abs(pred_rgb) ** (1 / gamma)
+      targ_rgb = jnp.sign(targ_rgb) * jnp.abs(targ_rgb) ** (1 / gamma)
     total = 0.0
     for f in fns:
       for s in spaces:

@@ -88,6 +88,10 @@ def load_optimizer(kind: str = "adam", learning_rate: float = 5e-4,
   parts = []
   if grad_clip > 0:
     parts.append(optax.clip_by_global_norm(grad_clip))
+  if weight_decay and kind != "adamw":
+    # the reference feeds --decay to torch Adam's weight_decay
+    # (runner.py:88,456); optax's equivalent is a decay term in the chain
+    parts.append(optax.add_decayed_weights(weight_decay))
   parts.append(opt)
   tx = optax.chain(*parts)
   if accum_steps > 1:

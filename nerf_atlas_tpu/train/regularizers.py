@@ -85,6 +85,18 @@ def occ_decay(out, **_):
   return out.get("occ_decay", 0.0)
 
 
+def surface_eikonal(out, **_):
+  """Eikonal weighted toward the surface: ray-sample eikonal residuals
+  weighted by the volume-rendering weights (the reference evaluates at
+  ray-surface intersections, runner.py:215 --surface-eikonal; the
+  weight distribution concentrates exactly there)."""
+  n, w = out.get("normals"), out.get("weights")
+  if n is None or w is None:
+    return 0.0
+  ei = jnp.square(jnp.linalg.norm(n, axis=-1) - 1.0)
+  return jnp.sum(w * ei) / (jnp.sum(w) + 1e-8)
+
+
 REGULARIZERS: Dict[str, Callable] = {
     "latent_l2": latent_l2,
     "eikonal": eikonal,
@@ -98,6 +110,7 @@ REGULARIZERS: Dict[str, Callable] = {
     "weight_sparsity": weight_sparsity,
     "volsdf_scale": volsdf_scale,
     "occ_decay": occ_decay,
+    "surface_eikonal": surface_eikonal,
 }
 
 
@@ -120,15 +133,31 @@ def total_regularizer(out: Dict[str, Any], coeffs: Dict[str, float]):
 # :745-765, view variance :701, dyn divergence :694-698, spline length
 # :784, spline pt0 :788, random eikonal :692).
 
+def _perturbation(key, n: int, eps: float, eps_rng: bool):
+  """Smoothing offset: fixed-radius gaussian, or random-radius when
+  eps_rng (--smooth-eps / --smooth-eps-rng, reference runner.py:219-225)."""
+  k1, k2 = jax.random.split(key)
+  d = jax.random.normal(k1, (n, 3))
+  d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+  r = jax.random.uniform(k2, (n, 1), maxval=eps) if eps_rng else eps
+  return d * r
+
+
 def smooth_normals(model_apply, params, key, n: int = 512,
-                   eps: float = 1e-2, method: str = "normals"):
-  """E‖n(x) − n(x+ε)‖² over random points — smooth shading fields."""
+                   eps: float = 1e-2, method: str = "normals",
+                   eps_rng: bool = False, ords=(2,)):
+  """E‖n(x) − n(x+ε)‖ over random points — smooth shading fields.
+  `ords` selects the vector-norm order(s) (--smooth-n-ord)."""
   k1, k2 = jax.random.split(key)
   pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
-  delta = eps * jax.random.normal(k2, (n, 3))
+  delta = _perturbation(k2, n, eps, eps_rng)
   n0 = model_apply(params, pts, method=method)
   n1 = model_apply(params, pts + delta, method=method)
-  return jnp.mean(jnp.square(n0 - n1))
+  total = 0.0
+  for o in ords:
+    total = total + jnp.mean(
+        jnp.linalg.norm(n0 - n1, ord=o, axis=-1) ** (2 if o == 2 else 1))
+  return total
 
 
 def eikonal_random(model_apply, params, key, n: int = 512,
@@ -140,12 +169,13 @@ def eikonal_random(model_apply, params, key, n: int = 512,
 
 
 def smooth_surface(model_apply, params, key, n: int = 512,
-                   eps: float = 1e-2, sharp: float = 8.0):
+                   eps: float = 1e-2, sharp: float = 8.0,
+                   eps_rng: bool = False):
   """Normal smoothness weighted toward the zero set: points with small
   |sdf| dominate (exp(−sharp·|sdf|) weighting)."""
   k1, k2 = jax.random.split(key)
   pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
-  delta = eps * jax.random.normal(k2, (n, 3))
+  delta = _perturbation(k2, n, eps, eps_rng)
   sd = model_apply(params, pts, method="sdf_value")
   w = jnp.exp(-sharp * jnp.abs(jax.lax.stop_gradient(sd)))
   n0 = model_apply(params, pts, method="normals")
@@ -184,8 +214,8 @@ def view_variance(model_apply, params, key, n: int = 256):
 
 
 def dyn_divergence(model_apply, params, key, n: int = 512):
-  """FFJORD-style divergence penalty on the deformation field via the
-  Hutchinson estimator: E[(εᵀ J_dp ε)²] with Rademacher ε."""
+  """Divergence penalty on the deformation field via the Hutchinson
+  estimator: E[(εᵀ J_dp ε)²] with Rademacher ε (--dyn-diverge-decay)."""
   k1, k2, k3 = jax.random.split(key, 3)
   pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
   t = jax.random.uniform(k2, (n, 1))
@@ -197,6 +227,21 @@ def dyn_divergence(model_apply, params, key, n: int = 512):
   _, jv = jax.jvp(dp_fn, (pts,), (eps,))
   div_est = jnp.sum(eps * jv, axis=-1)
   return jnp.mean(jnp.square(div_est))
+
+
+def ffjord_div(model_apply, params, key, n: int = 512):
+  """FFJORD stochastic divergence (first moment, not squared —
+  reference runner.py:698-700 uses the raw estimator)."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  pts = jax.random.uniform(k1, (n, 3), minval=-1, maxval=1)
+  t = jax.random.uniform(k2, (n, 1))
+  eps = jax.random.rademacher(k3, (n, 3), dtype=pts.dtype)
+
+  def dp_fn(p):
+    return model_apply(params, p, t, method="delta_x")
+
+  _, jv = jax.jvp(dp_fn, (pts,), (eps,))
+  return jnp.mean(jnp.abs(jnp.sum(eps * jv, axis=-1)))
 
 
 def spline_length(model_apply, params, key, n: int = 256, t_samples: int = 8):
@@ -225,12 +270,20 @@ POINT_REGULARIZERS: Dict[str, Callable] = {
     "smooth_occ": smooth_occ,
     "view_variance": view_variance,
     "dyn_divergence": dyn_divergence,
+    "ffjord_div": ffjord_div,
     "spline_length": spline_length,
     "spline_pt0": spline_pt0,
 }
 
+# regs that take the smoothing knobs (--smooth-eps / --smooth-eps-rng /
+# --smooth-n-ord)
+_SMOOTH_REGS = {"smooth_normals": ("eps", "eps_rng", "ords"),
+                "smooth_surface": ("eps", "eps_rng"),
+                "smooth_occ": ("eps",)}
 
-def point_regularizers(model, params, key, coeffs: Dict[str, float]):
+
+def point_regularizers(model, params, key, coeffs: Dict[str, float],
+                       smooth_opts: Dict[str, Any] = None):
   """Sum of coeff * point-sampled reg for every nonzero coefficient.
   Traced inside the jitted train step (extra model evaluations)."""
   total = 0.0
@@ -240,5 +293,10 @@ def point_regularizers(model, params, key, coeffs: Dict[str, float]):
     return total
   keys = jax.random.split(key, len(active))
   for k, (name, c) in zip(keys, active):
-    total = total + c * POINT_REGULARIZERS[name](model.apply, params, k)
+    kwargs = {}
+    if smooth_opts and name in _SMOOTH_REGS:
+      kwargs = {kk: smooth_opts[kk] for kk in _SMOOTH_REGS[name]
+                if kk in smooth_opts}
+    total = total + c * POINT_REGULARIZERS[name](model.apply, params, k,
+                                                 **kwargs)
   return total

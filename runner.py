@@ -30,16 +30,36 @@ def arguments(argv=None):
                           "single_video", "pixel-single", "synthetic",
                           "synthetic-dyn", "synthetic-lit"],
                  help="dataset loader (default: derived from path)")
+  a.add_argument("--derive-kind", action="store_false",
+                 help="allow deriving the data kind from the path "
+                      "(pass to require an explicit --data-kind)")
   a.add_argument("--size", type=int, default=64, help="training image size")
+  a.add_argument("--train-imgs", type=int, default=-1,
+                 help="limit the number of training views")
   a.add_argument("--outdir", default="outputs")
+  a.add_argument("--timed-outdir", action="store_true",
+                 help="append date+time of the run to --outdir")
+  a.add_argument("--name", default="",
+                 help="display name recorded in the log file")
 
   # model
   a.add_argument("--model", default="plain",
                  choices=["tiny", "plain", "ae", "coarse_fine", "volsdf",
                           "sdf", "voxel", "mpi", "rig", "spline", "hist",
                           "bendy", "recurrent", "pixel-single"])
+  a.add_argument("--bendy", action="store_true",
+                 help="curved rays through a learned IOR field "
+                      "(shorthand for --model bendy)")
   a.add_argument("--dyn-model", default=None,
                  choices=[None, "plain", "ae", "long", "rig", "voxel"])
+  a.add_argument("--with-canon", default=None,
+                 help="checkpoint to preload as the canonical model of a "
+                      "dynamic wrapper")
+  a.add_argument("--fix-canon", action="store_true",
+                 help="freeze the canonical model while training the warp")
+  a.add_argument("--dyn-refl-latent", type=int, default=0,
+                 help="latent size passed from the deformation to the "
+                      "canonical reflectance")
   a.add_argument("--steps", type=int, default=64, help="samples per ray")
   a.add_argument("--near", type=float, default=2.0)
   a.add_argument("--far", type=float, default=6.0)
@@ -51,7 +71,15 @@ def arguments(argv=None):
   a.add_argument("--sigmoid-kind", default="thin")
   a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
                  choices=["black", "white", "random", "mlp"])
-  a.add_argument("--intermediate-size", type=int, default=32)
+  a.add_argument("--intermediate-size", "--shape-to-refl-size",
+                 dest="intermediate_size", type=int, default=32,
+                 help="feature width passed from density to reflectance")
+  a.add_argument("--encoding-size", type=int, default=32,
+                 help="latent size of the auto-encoded NeRF (--model ae)")
+  a.add_argument("--normalize-latent", action="store_true",
+                 help="L2-normalize the AE latent")
+  a.add_argument("--rig-points", type=int, default=32,
+                 help="number of rig points (--model rig)")
   a.add_argument("--density-noise", type=float, default=0.0)
   a.add_argument("--voxel-resolution", type=int, default=64)
   a.add_argument("--spline", type=int, default=0,
@@ -74,13 +102,53 @@ def arguments(argv=None):
                  help="sub-BRDFs for --refl-kind weighted")
   a.add_argument("--space-kind", default="identity",
                  choices=["identity", "surface", "none"])
+  a.add_argument("--refl-order", type=int, default=2,
+                 help="order for spherical-harmonic & Fourier-basis BRDFs")
+  a.add_argument("--refl-bidirectional", action="store_true",
+                 help="allow flipped normals in the diffuse BRDF")
+  a.add_argument("--normal-kind", default="raw",
+                 choices=["none", "elaz", "raw"],
+                 help="how normals enter the 'basic' reflectance")
+  a.add_argument("--feature-space", type=int, default=3,
+                 help="reflectance output feature size (neural upsampling "
+                      "renders features instead of RGB)")
   a.add_argument("--light-kind", default=None,
                  choices=[None, "point", "field", "dataset"])
+  a.add_argument("--light-intensity", type=float, default=100.0,
+                 help="intensity of dataset/point lights")
+  a.add_argument("--point-light-position", type=float, nargs="+",
+                 default=[0.0, 0.0, -3.0],
+                 help="world position for --light-kind point (default: "
+                      "collocate with each view's camera)")
+  a.add_argument("--has-multi-light", action="store_true",
+                 help="nerv_point: also evaluate the multi-point-light "
+                      "test split")
   a.add_argument("--occ-kind", default=None,
                  choices=[None, "hard", "learned", "learned-const",
                           "all-learned", "joint-all-const"])
+  a.add_argument("--all-learned-occ-kind", default="pos",
+                 choices=["pos", "pos-elaz"],
+                 help="inputs of the all-learned occlusion MLP")
   a.add_argument("--integrator-kind", default=None,
                  choices=[None, "direct", "path"])
+
+  # checkpoint surgery / conversions (reference set_per_run,
+  # runner.py:1041-1170)
+  a.add_argument("--volsdf-direct-to-path", action="store_true",
+                 help="convert a loaded direct-integration VolSDF to the "
+                      "one-bounce path integrator")
+  a.add_argument("--volsdf-alternate", action="store_true",
+                 help="alternate volume/surface supervision for VolSDF "
+                      "(sets --alt-train cadence on the sdf/volume halves)")
+  a.add_argument("--all-learned-to-joint", action="store_true",
+                 help="convert a loaded all-learned occlusion into the "
+                      "joint learned+raycast-const kind")
+  a.add_argument("--convert-analytic-to-alt", action="store_true",
+                 help="wrap a loaded analytic (diffuse) BRDF into the "
+                      "alternating analytic/learned optimization")
+  a.add_argument("--autogamma-correct-loss", action="store_true",
+                 help="infer the loss gamma from the dataset mean "
+                      "luminance (imagick autogamma rule)")
 
   # sdf
   a.add_argument("--sdf-kind", default="mlp",
@@ -88,8 +156,14 @@ def arguments(argv=None):
                           "triangles"])
   a.add_argument("--bound-sphere-rad", type=float, default=-1,
                  help=">0 bounds the SDF by a sphere of this radius")
-  a.add_argument("--isect-kind", default="bisect",
-                 choices=["bisect", "secant", "sphere"])
+  a.add_argument("--isect-kind", "--sdf-isect-kind", dest="isect_kind",
+                 default="bisect", choices=["bisect", "secant", "sphere"])
+  a.add_argument("--sphere-init", dest="sphere_init", action="store_true",
+                 default=True,
+                 help="initialize the SDF to a unit sphere (analytic "
+                      "bias; on by default)")
+  a.add_argument("--no-sphere-init", dest="sphere_init",
+                 action="store_false")
 
   # optimization
   a.add_argument("--epochs", type=int, default=1000,
@@ -110,7 +184,13 @@ def arguments(argv=None):
   a.add_argument("--color-spaces", nargs="+", default=["rgb"],
                  choices=["rgb", "hsv", "luminance", "xyz"])
   a.add_argument("--tone-map", action="store_true")
-  a.add_argument("--gamma-correct", action="store_true")
+  a.add_argument("--gamma-correct", action="store_true",
+                 help="gamma-correct the loss at 2.2 (shorthand for "
+                      "--gamma-correct-loss 2.2)")
+  a.add_argument("--gamma-correct-loss", type=float, default=1.0,
+                 help="gamma correct the training loss by this exponent")
+  a.add_argument("--decay", type=float, default=0.0,
+                 help="optimizer weight decay")
   a.add_argument("--no-sched", action="store_true")
   a.add_argument("--sched-min", type=float, default=5e-5)
   a.add_argument("--clip-gradients", type=float, default=0.0)
@@ -122,38 +202,89 @@ def arguments(argv=None):
                  help="grow Fourier encoder frequencies during training")
   a.add_argument("--time-gamma", type=float, default=1.0,
                  help="gamma-warp normalized times (dnerf loader)")
+  a.add_argument("--serial-idxs", action="store_true",
+                 help="train on views in serial (view = step %% N)")
+  a.add_argument("--higher-end-chance", type=int, default=0,
+                 help="extra draws of the first/last view per batch "
+                      "(dynamic scenes: anchor the endpoints)")
+  a.add_argument("--omit-bg", action="store_true",
+                 help="skip mostly-background batches with some "
+                      "probability (focus on the subject)")
+  a.add_argument("--skip-loss", type=int, default=0,
+                 help="suppress loss reporting for the first N steps")
+  a.add_argument("--torchjit", action="store_true",
+                 help="no-op: the XLA jit is always on (flag kept for "
+                      "reference recipe compatibility)")
+  a.add_argument("--data-parallel", action="store_true",
+                 help="no-op unless --mesh-devices 1 was set: ray batches "
+                      "data-parallel over the device mesh by default")
 
-  # regularizers
+  # regularizers (reference flag names kept as aliases of the -weight
+  # spellings introduced in round 1)
   a.add_argument("--latent-l2-weight", type=float, default=0.0)
-  a.add_argument("--eikonal-weight", type=float, default=0.0)
-  a.add_argument("--dp-weight", type=float, default=0.0,
+  a.add_argument("--eikonal-weight", "--sdf-eikonal", dest="eikonal_weight",
+                 type=float, default=0.0)
+  a.add_argument("--surface-eikonal", type=float, default=0.0,
+                 help="eikonal on surface-intersection points")
+  a.add_argument("--dp-weight", "--delta-x-decay", dest="dp_weight",
+                 type=float, default=0.0,
                  help="delta-x deformation magnitude reg")
   a.add_argument("--offset-decay", type=float, default=0.0,
                  help="NR-NeRF offset loss weight")
   a.add_argument("--rigidity-sparsity", type=float, default=0.0)
-  a.add_argument("--tv-sigma", type=float, default=0.0)
-  a.add_argument("--tv-refl", type=float, default=0.0)
-  a.add_argument("--tv-bezier", type=float, default=0.0)
-  a.add_argument("--tv-rigidity", type=float, default=0.0)
+  a.add_argument("--tv-sigma", "--voxel-tv-sigma", dest="tv_sigma",
+                 type=float, default=0.0)
+  a.add_argument("--tv-refl", "--voxel-tv-rgb", dest="tv_refl",
+                 type=float, default=0.0)
+  a.add_argument("--tv-bezier", "--voxel-tv-bezier", dest="tv_bezier",
+                 type=float, default=0.0)
+  a.add_argument("--tv-rigidity", "--voxel-tv-rigidity",
+                 dest="tv_rigidity", type=float, default=0.0)
   a.add_argument("--weight-sparsity", type=float, default=0.0)
   a.add_argument("--volsdf-scale-decay", type=float, default=0.0)
-  a.add_argument("--occ-decay-weight", type=float, default=0.0,
+  a.add_argument("--occ-decay-weight", "--decay-all-learned-occ",
+                 dest="occ_decay_weight", type=float, default=0.0,
                  help="decay learned occlusion toward visible")
-  a.add_argument("--smooth-normals-weight", type=float, default=0.0)
-  a.add_argument("--smooth-surface-weight", type=float, default=0.0)
-  a.add_argument("--smooth-occ-weight", type=float, default=0.0)
-  a.add_argument("--view-variance-weight", type=float, default=0.0)
+  a.add_argument("--smooth-normals-weight", "--smooth-normals",
+                 dest="smooth_normals_weight", type=float, default=0.0)
+  a.add_argument("--smooth-surface-weight", "--smooth-surface",
+                 dest="smooth_surface_weight", type=float, default=0.0)
+  a.add_argument("--smooth-occ-weight", "--smooth-occ",
+                 dest="smooth_occ_weight", type=float, default=0.0)
+  a.add_argument("--smooth-eps", type=float, default=1e-3,
+                 help="perturbation radius for the smoothness regs")
+  a.add_argument("--smooth-eps-rng", action="store_true",
+                 help="random perturbation radius instead of fixed")
+  a.add_argument("--smooth-n-ord", nargs="+", type=int, default=[2],
+                 choices=[1, 2],
+                 help="vector norm order(s) for normal smoothing")
+  a.add_argument("--view-variance-weight", "--view-variance-decay",
+                 dest="view_variance_weight", type=float, default=0.0)
   a.add_argument("--eikonal-random-weight", type=float, default=0.0,
                  help="eikonal on uniform random points")
-  a.add_argument("--dyn-divergence-weight", type=float, default=0.0,
-                 help="FFJORD-style divergence of the deformation field")
-  a.add_argument("--spline-length-weight", type=float, default=0.0)
-  a.add_argument("--spline-pt0-weight", type=float, default=0.0)
+  a.add_argument("--dyn-divergence-weight", "--dyn-diverge-decay",
+                 dest="dyn_divergence_weight", type=float, default=0.0,
+                 help="divergence of the deformation field")
+  a.add_argument("--ffjord-div-decay", type=float, default=0.0,
+                 help="FFJORD stochastic divergence of the deformation "
+                      "field, ramped in over training")
+  a.add_argument("--spline-length-weight", "--spline-len-decay",
+                 dest="spline_length_weight", type=float, default=0.0)
+  a.add_argument("--spline-pt0-weight", "--spline-pt0-decay",
+                 dest="spline_pt0_weight", type=float, default=0.0)
+  a.add_argument("--random-spline-len-decay", type=float, default=0.0,
+                 help="spline length on randomly sampled points")
+  a.add_argument("--voxel-random-spline-len-decay", type=float,
+                 default=0.0,
+                 help="spline length on random voxel-grid chunks")
 
   # reporting / io
   a.add_argument("--valid-freq", type=int, default=500)
   a.add_argument("--save-freq", type=int, default=1000)
   a.add_argument("--versioned-save", action="store_true")
+  a.add_argument("--nosave", action="store_true", help="do not checkpoint")
+  a.add_argument("--log", default="log.json",
+                 help="file name for the resolved-config dump")
   a.add_argument("--load", default=None, help="checkpoint to restore/graft")
   a.add_argument("--save-load-opt", action="store_true",
                  help="checkpoint and restore optimizer state too")
@@ -176,17 +307,67 @@ def arguments(argv=None):
                  help="save normalized depth maps at test time")
   a.add_argument("--normals-images", action="store_true",
                  help="save integrated normal maps at test time")
-  a.add_argument("--flow-images", action="store_true",
+  a.add_argument("--flow-images", "--flow-map", dest="flow_images",
+                 action="store_true",
                  help="save deformation magnitude maps (dynamic models)")
-  a.add_argument("--rigidity-images", action="store_true",
+  a.add_argument("--rigidity-images", "--rigidity-map",
+                 dest="rigidity_images", action="store_true",
                  help="save rigidity maps (dynamic models)")
+  a.add_argument("--visualize", nargs="*", default=[],
+                 choices=["depth", "normals", "flow", "rigidity"],
+                 help="shorthand list form of the *-images flags")
+  a.add_argument("--normals-from-depth", action="store_true",
+                 help="extra normal maps from depth finite differences")
+  a.add_argument("--depth-query-normal", action="store_true",
+                 help="extra normal maps by querying SDF normals at the "
+                      "termination depth")
+  a.add_argument("--draw-colormap", action="store_true",
+                 help="colormap the depth/extra maps")
+  a.add_argument("--plt-cmap-kind", default="magma",
+                 help="matplotlib colormap for --draw-colormap")
+  a.add_argument("--with-alpha", action="store_true",
+                 help="save test renders as RGBA (alpha = opacity)")
+  a.add_argument("--test-white-bg", action="store_true",
+                 help="composite masked references over white at test")
+  a.add_argument("--exp-bg", action="store_true",
+                 help="multiply saved test images by the label mask "
+                      "(visualization only)")
+  a.add_argument("--render-frame", type=int, default=-1,
+                 help=">=0: test only this view")
+  a.add_argument("--cluster-movement", type=int, default=0,
+                 help=">0: save a k-means clustering of the deformation "
+                      "field (dynamic models)")
+  a.add_argument("--display-regularization", action="store_true",
+                 help="print the regularization component of the loss")
+  a.add_argument("--display-smoothness", action="store_true",
+                 help="print smoothness regularizer values (alias of "
+                      "--display-regularization: both show loss - mse)")
+  a.add_argument("--y-scale", default="log",
+                 choices=["linear", "log", "symlog", "logit"],
+                 help="y scale of the loss plot")
   a.add_argument("--msssim-loss", action="store_true",
-                 help="also report SSIM at test time")
+                 help="also report MS-SSIM at test time")
   a.add_argument("--render-over-time", type=int, default=-1,
                  help=">=0: render this view over swept time")
-  a.add_argument("--render-frames", type=int, default=24)
+  a.add_argument("--render-frames", "--render-over-time-steps",
+                 dest="render_frames", type=int, default=24)
+  a.add_argument("--render-over-time-end-sec", type=float, default=1.0,
+                 help="end of the swept time range")
+  a.add_argument("--render-bezier-keyframes", action="store_true",
+                 help="also render the spline keyframe times")
   a.add_argument("--num-views", type=int, default=8,
                  help="views for procedural synthetic data")
+
+  # video
+  a.add_argument("--start-sec", type=float, default=0.0,
+                 help="start load time of a video dataset")
+  a.add_argument("--end-sec", type=float, default=None,
+                 help="end load time of a video dataset")
+  a.add_argument("--long-vid-chunk-len-sec", type=float, default=None,
+                 help="chunk length in seconds for progressive long-video "
+                      "training (overrides --long-vid-segments)")
+  a.add_argument("--static-vid-cam-angle-deg", type=float, default=40.0,
+                 help="FOV for the static video camera")
 
   # parallelism
   a.add_argument("--mesh-devices", type=int, default=0,
@@ -210,6 +391,24 @@ def arguments(argv=None):
   return args
 
 
+def _refl_kwargs(args):
+  """Per-kind BRDF knobs from flags (--refl-order / --refl-bidirectional /
+  --normal-kind / --weighted-subrefl-kinds)."""
+  rk = {}
+  if args.refl_kind == "sph-har":
+    rk["degree"] = args.refl_order
+  elif args.refl_kind == "fourier":
+    rk["order"] = max(args.refl_order, 2)
+  elif args.refl_kind == "diffuse":
+    rk["bidirectional"] = args.refl_bidirectional
+  elif args.refl_kind == "basic":
+    rk["normal_kind"] = (None if args.normal_kind == "none"
+                         else args.normal_kind)
+  elif args.refl_kind == "weighted":
+    rk["subrefl_kinds"] = tuple(args.weighted_subrefl_kinds)
+  return rk
+
+
 def build_model(args, dynamic: bool):
   from nerf_atlas_tpu import models
   common = dict(steps=args.steps, t_near=args.near, t_far=args.far,
@@ -218,17 +417,19 @@ def build_model(args, dynamic: bool):
                 density_noise=args.density_noise,
                 lindisp=args.lindisp, per_ray_jitter=args.per_ray_jitter)
   kind = args.model
+  refl_kwargs = _refl_kwargs(args)
   kwargs = dict(common)
   if kind in ("plain", "coarse_fine"):
     kwargs["refl_kind"] = args.refl_kind
     if kind == "plain":
       kwargs["mip"] = args.mip
       kwargs["refl_space"] = args.space_kind
-      if args.refl_kind == "weighted":
-        kwargs["refl_kwargs"] = {
-            "subrefl_kinds": tuple(args.weighted_subrefl_kinds)}
+      if refl_kwargs:
+        kwargs["refl_kwargs"] = refl_kwargs
   elif kind == "ae":
-    kwargs["refl_kind"] = args.refl_kind
+    kwargs.update(refl_kind=args.refl_kind,
+                  encoding_size=args.encoding_size,
+                  normalize_latent=args.normalize_latent)
   elif kind == "volsdf":
     kwargs.update(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
                   occ_kind=args.occ_kind,
@@ -236,14 +437,22 @@ def build_model(args, dynamic: bool):
                   # "field" is a learned light module owned by the model;
                   # "point"/"dataset" lights ride the dataset instead
                   light_kind=("field" if args.light_kind == "field"
-                              else None))
+                              else None),
+                  refl_kwargs=refl_kwargs or None,
+                  sdf_kwargs={"sphere_init": args.sphere_init},
+                  occ_kwargs=(
+                      {"use_dir": args.all_learned_occ_kind == "pos-elaz"}
+                      if args.occ_kind in ("all-learned", "joint-all-const")
+                      else None))
   elif kind == "sdf":
     kwargs = dict(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
                   isect_kind=args.isect_kind, t_near=max(args.near - 2, 0.0),
                   t_far=args.far, sigmoid_kind=args.sigmoid_kind,
                   bounded=args.bound_sphere_rad > 0 or True,
                   bound_radius=(args.bound_sphere_rad
-                                if args.bound_sphere_rad > 0 else 1.5))
+                                if args.bound_sphere_rad > 0 else 1.5),
+                  refl_kwargs=refl_kwargs or None,
+                  sdf_kwargs={"sphere_init": args.sphere_init})
   elif kind == "voxel":
     kwargs["resolution"] = args.voxel_resolution
     kwargs["refl_kind"] = ("pos" if args.refl_kind
@@ -252,6 +461,7 @@ def build_model(args, dynamic: bool):
     kwargs.pop("intermediate_size", None)
   elif kind in ("rig",):
     kwargs["refl_kind"] = args.refl_kind
+    kwargs["n_points"] = args.rig_points
   elif kind == "pixel-single":
     # identity pinhole camera (the pixel-single loader's): uv derives
     # from ray directions inside the model
@@ -270,7 +480,8 @@ def build_model(args, dynamic: bool):
                   if kind not in ("tiny", "mpi", "voxel") else {})
   if args.dyn_model == "plain":
     dyn_kwargs.update(canonical_kind=kind, spline_points=args.spline,
-                      canonical_kwargs=canon_kwargs)
+                      canonical_kwargs=canon_kwargs,
+                      time_latent_size=args.dyn_refl_latent)
   elif args.dyn_model == "long":
     dyn_kwargs.update(canonical_kind=kind, segments=args.long_vid_segments,
                       canonical_kwargs=canon_kwargs)
@@ -288,7 +499,8 @@ def apply_light_kind(args, ds):
   lights participate only when the flag is set — runner.py:969-977,
   src/refl.py:45-47).
     dataset: loader-provided per-view lights (nerv_point / synthetic-lit)
-    point:   a point light collocated with each view's camera
+    point:   a point light at --point-light-position (or collocated with
+             each view's camera when the default sentinel is kept)
     field:   learned light module inside the model (no dataset lights)
   """
   if args.light_kind is None or args.light_kind == "field":
@@ -302,12 +514,120 @@ def apply_light_kind(args, ds):
     if ds.lights is not None:
       return ds
     from nerf_atlas_tpu.refl.lights import Point
-    c2w = getattr(ds.camera, "cam_to_world", None)
-    if c2w is None:
-      c2w = ds.camera.pose  # DTUCamera
-    origins = np.asarray(c2w[:, :3, 3])
-    return ds.replace(lights=Point.make(origins, intensity=10.0))
+    pos = list(args.point_light_position)
+    if pos != [0.0, 0.0, -3.0]:      # explicit world-space light
+      origins = np.tile(np.asarray(pos, np.float32)[None], (ds.num_views, 1))
+    else:                            # default: collocate with the cameras
+      c2w = getattr(ds.camera, "cam_to_world", None)
+      if c2w is None:
+        c2w = ds.camera.pose  # DTUCamera
+      origins = np.asarray(c2w[:, :3, 3])
+    return ds.replace(lights=Point.make(origins,
+                                        intensity=args.light_intensity))
   raise NotImplementedError(args.light_kind)
+
+
+def set_per_run(args, ds):
+  """Checkpoint-surgery conversions + flag validation (the reference's
+  set_per_run, runner.py:1041-1170). Mutates args BEFORE model
+  construction (our models are immutable config + pytree params; a
+  conversion = build the new config, then graft the old checkpoint with
+  `remaps` moving renamed subtrees). Returns the graft remap list."""
+  remaps = []
+  if args.volsdf_direct_to_path:
+    assert args.model == "volsdf", "--volsdf-direct-to-path needs volsdf"
+    if args.integrator_kind == "path":
+      print("[note]: model already uses path integration, nothing changed")
+    else:
+      print("[note]: converting VolSDF direct integration to path")
+      args.integrator_kind = "path"
+  if args.all_learned_to_joint:
+    if args.occ_kind == "joint-all-const":
+      print("[note]: occlusion already joint-all-const, nothing changed")
+    else:
+      assert args.occ_kind == "all-learned", \
+          "--all-learned-to-joint needs --occ-kind all-learned"
+      print("[note]: converting occlusion to joint learned+const")
+      args.occ_kind = "joint-all-const"
+      # the old AllLearnedOcc params nest under occ/all_learned in the
+      # joint module (reference runner.py:1095-1101 keeps `alo`)
+      remaps.append((("params", "occ"),
+                     ("params", "occ", "all_learned")))
+  if args.convert_analytic_to_alt:
+    if args.refl_kind == "alternating":
+      print("[note]: redundant alternating optimization, ignoring")
+    else:
+      assert args.refl_kind == "diffuse", \
+          "--convert-analytic-to-alt wraps an analytic (diffuse) BRDF"
+      print("[note]: wrapping analytic BRDF in alternating optimization")
+      args.refl_kind = "alternating"
+      remaps.append((("params", "refl"),
+                     ("params", "refl", "analytic")))
+  if args.autogamma_correct_loss:
+    # imagick autogamma: gamma = log(0.5) / log(mean) (reference
+    # runner.py:1159-1170, clamped/specialized the same way)
+    import math
+    mean = float(np.mean(np.asarray(ds.pixels[..., :3])))
+    weight = max(math.log(0.5) / math.log(max(mean, 1e-6)), 0.0)
+    if weight < 0.55:
+      weight = 0.5
+    if weight >= 0.9:
+      print(f"[note]: autogamma would darken/hardly change ({weight:.3f}),"
+            " ignoring")
+    else:
+      args.gamma_correct_loss = weight
+      print(f"[note]: autogamma correction weight: {weight:.3f}")
+
+  # flag validation / zeroing (reference runner.py:1103-1158)
+  def zero(flag, why):
+    if getattr(args, flag) > 0:
+      print(f"[warn]: zeroing --{flag.replace('_', '-')}: {why}")
+      setattr(args, flag, 0.0)
+
+  if args.model != "volsdf":
+    zero("volsdf_scale_decay", "model is not volsdf")
+  if args.model not in ("volsdf", "sdf"):
+    zero("eikonal_weight", "model has no SDF")
+    zero("eikonal_random_weight", "model has no SDF")
+    zero("surface_eikonal", "model has no SDF")
+    zero("smooth_surface_weight", "model has no SDF")
+  if args.occ_kind not in ("all-learned", "joint-all-const"):
+    zero("smooth_occ_weight", "occlusion is not (all-)learned")
+    zero("occ_decay_weight", "occlusion is not all-learned")
+  if args.dyn_model is None:
+    for f in ("dp_weight", "dyn_divergence_weight", "ffjord_div_decay",
+              "offset_decay", "rigidity_sparsity",
+              "spline_length_weight", "spline_pt0_weight",
+              "random_spline_len_decay", "voxel_random_spline_len_decay"):
+      zero(f, "model is not dynamic")
+  if args.model != "voxel" and args.dyn_model != "voxel":
+    for f in ("tv_sigma", "tv_refl", "tv_bezier", "tv_rigidity"):
+      zero(f, "model is not voxel")
+  elif args.dyn_model != "voxel":
+    for f in ("tv_bezier", "tv_rigidity"):
+      zero(f, "static voxel has no bezier/rigidity grids")
+  if args.refl_kind == "pos" and args.view_variance_weight > 0:
+    zero("view_variance_weight", "positional refl does not use view")
+  return remaps
+
+
+def _slice_views(ds, n: int):
+  """Limit the dataset to its first n views (--train-imgs). Slices every
+  per-view leaf (pixels, camera pose, times, lights) on the view axis."""
+  import jax
+  total = ds.num_views
+  if n <= 0 or n >= total:
+    return ds
+
+  def cut(x):
+    return (x[:n] if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+            and x.shape[0] == total else x)
+
+  return ds.replace(
+      pixels=ds.pixels[:n],
+      camera=jax.tree.map(cut, ds.camera),
+      times=None if ds.times is None else ds.times[:n],
+      lights=None if ds.lights is None else jax.tree.map(cut, ds.lights))
 
 
 def main():
@@ -316,6 +636,22 @@ def main():
   from nerf_atlas_tpu.train import checkpoints, driver
 
   t0 = time.time()
+  if args.bendy:
+    args.model = "bendy"
+  if args.torchjit:
+    print("[note]: --torchjit is a no-op — the XLA jit is always on")
+  if args.data_parallel and args.mesh_devices == 1:
+    args.mesh_devices = 0     # re-enable the mesh
+  if not args.derive_kind and args.data_kind is None:
+    raise ValueError("--data-kind is required when --derive-kind is unset")
+  if args.timed_outdir:
+    args.outdir = f"{args.outdir}-{time.strftime('%Y-%m-%d-%H%M%S')}"
+  for vis in args.visualize:   # list form of the *-images flags
+    setattr(args, {"depth": "depth_images", "normals": "normals_images",
+                   "flow": "flow_images",
+                   "rigidity": "rigidity_images"}[vis], True)
+  if args.nosave:
+    args.save_freq = 0
   os.makedirs(args.outdir, exist_ok=True)
 
   load_kwargs = {}
@@ -323,10 +659,18 @@ def main():
     load_kwargs["num_views"] = args.num_views
   if args.data_kind == "dnerf" and args.time_gamma != 1.0:
     load_kwargs["time_gamma"] = args.time_gamma
+  if args.data_kind == "nerv_point":
+    load_kwargs["light_intensity"] = args.light_intensity
+  if args.data_kind == "single_video":
+    load_kwargs.update(fov=args.static_vid_cam_angle_deg,
+                       start_sec=args.start_sec, end_sec=args.end_sec)
   bundle = load(args.data, data_kind=args.data_kind, training=True,
                 size=args.size, **load_kwargs)
   ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
   ds = apply_light_kind(args, ds)
+  if args.train_imgs > 0:
+    ds = _slice_views(ds, args.train_imgs)
+  remaps = set_per_run(args, ds)
   if args.cam_save_load and os.path.exists(args.cam_save_load):
     from nerf_atlas_tpu.train.checkpoints import load_camera
     ds = ds.replace(camera=load_camera(args.cam_save_load, ds.camera))
@@ -346,15 +690,22 @@ def main():
                          or args.style_img):
     crop_size = 32  # image-structured losses need image-shaped batches
 
+  if args.volsdf_alternate:
+    assert args.model == "volsdf", "--volsdf-alternate needs --model volsdf"
+    if args.alt_train == 0:
+      args.alt_train = 2048   # the reference's run_len=4096 halves
+
   cfg = driver.TrainConfig(
       steps=args.epochs, batch_size=args.batch_size,
       learning_rate=args.learning_rate, opt_kind=args.opt_kind,
       loss_kinds=tuple(args.loss_fns),
       color_spaces=tuple(args.color_spaces), tone_map=args.tone_map,
-      gamma_correct=args.gamma_correct,
+      gamma_correct=(2.2 if args.gamma_correct
+                     else args.gamma_correct_loss),
       reg_coeffs={
           "latent_l2": args.latent_l2_weight,
           "eikonal": args.eikonal_weight,
+          "surface_eikonal": args.surface_eikonal,
           "delta_x": args.dp_weight,
           "offset": args.offset_decay,
           "rigidity_sparsity": args.rigidity_sparsity,
@@ -371,7 +722,12 @@ def main():
           "view_variance": args.view_variance_weight,
           "eikonal_random": args.eikonal_random_weight,
           "dyn_divergence": args.dyn_divergence_weight,
-          "spline_length": args.spline_length_weight,
+          "ffjord_div": args.ffjord_div_decay,
+          # our spline-length reg is point-sampled, i.e. already the
+          # "random" variant — the three reference spellings sum
+          "spline_length": (args.spline_length_weight
+                            + args.random_spline_len_decay
+                            + args.voxel_random_spline_len_decay),
           "spline_pt0": args.spline_pt0_weight,
       },
       grad_clip=args.clip_gradients, accum_steps=args.opt_step,
@@ -389,11 +745,21 @@ def main():
       inc_fourier_freqs=args.inc_fourier_freqs,
       crop_size=crop_size,
       style_img=args.style_img, style_weight=args.style_img_weight,
-      use_mesh=args.mesh_devices != 1)
+      use_mesh=args.mesh_devices != 1,
+      weight_decay=args.decay,
+      serial_idxs=args.serial_idxs,
+      end_bias=args.higher_end_chance,
+      omit_bg=args.omit_bg,
+      skip_loss=args.skip_loss,
+      freeze_substr="canonical" if args.fix_canon else None,
+      smooth_eps=args.smooth_eps,
+      smooth_eps_rng=args.smooth_eps_rng,
+      smooth_ords=tuple(args.smooth_n_ord),
+      volsdf_alternate=args.volsdf_alternate)
 
-  config_dict = {**vars(args), "argv": sys.argv,
+  config_dict = {**vars(args), "argv": sys.argv, "name": args.name,
                  "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
-  with open(os.path.join(args.outdir, "log.json"), "w") as f:
+  with open(os.path.join(args.outdir, args.log), "w") as f:
     json.dump(config_dict, f, indent=2, default=str)
 
   params = None
@@ -401,20 +767,42 @@ def main():
   if args.load:
     fresh = driver.init_model(model, ds, cfg.seed, extra_kwargs)
     params, info = checkpoints.restore_or_graft(args.load, fresh,
-                                                replace=args.replace)
+                                                replace=args.replace,
+                                                remaps=remaps)
     if args.save_load_opt:
       opt_saved = info.get("opt_state")
     print(f"[load] restored {len(info['restored'])} tensors, "
           f"re-initialized {len(info['skipped'])} (step {info['step']})")
+  if args.with_canon:
+    # preload a trained canonical model into the dynamic wrapper
+    # (reference --with-canon, runner.py:250): the standalone
+    # checkpoint's params graft under params/canonical
+    fresh = (params if params is not None
+             else driver.init_model(model, ds, cfg.seed, extra_kwargs))
+    params, info = checkpoints.restore_or_graft(
+        args.with_canon, fresh,
+        remaps=[(("params",), ("params", "canonical"))])
+    print(f"[with-canon] grafted {len(info['restored'])} canonical tensors")
 
   if args.epochs > 0:
+    show_reg = args.display_regularization or args.display_smoothness
+
     def log_cb(m):
       psnr = m.get("psnr", -10 * np.log10(max(m.get("mse", 1e-10), 1e-10)))
+      extra_txt = (f"  reg {m['loss'] - m['mse']:.5f}" if show_reg else "")
       print(f"step {m['step']:6d}  loss {m['loss']:.5f}  "
-            f"psnr {psnr:.2f}  ({time.time() - t0:.0f}s)")
+            f"psnr {psnr:.2f}{extra_txt}  ({time.time() - t0:.0f}s)")
     if args.long_vid_progressive_train and dynamic:
+      segments = args.long_vid_segments
+      if args.long_vid_chunk_len_sec:
+        # chunk length in seconds over the loaded window
+        span = ((args.end_sec - args.start_sec)
+                if args.end_sec else ds.num_views / 30.0)
+        segments = max(1, round(span / args.long_vid_chunk_len_sec))
+        print(f"[video] {segments} progressive chunks of "
+              f"{args.long_vid_chunk_len_sec}s")
       params, _, history = driver.train_progressive(
-          model, ds, cfg, segments=args.long_vid_segments, params=params,
+          model, ds, cfg, segments=segments, params=params,
           config_dict=config_dict, callback=log_cb)
     else:
       params, _, history = driver.train(model, ds, cfg, params=params,
@@ -424,7 +812,7 @@ def main():
                                         opt_state_saved=opt_saved)
     if history:
       driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
-                          window=args.loss_window)
+                          window=args.loss_window, yscale=args.y_scale)
     if cfg.train_camera:
       # rebind the dataset to the trained camera for eval rendering
       ds = ds.replace(camera=params["camera"])
@@ -440,14 +828,23 @@ def main():
                       ("flow", args.flow_images),
                       ("rigidity", args.rigidity_images)] if on)
 
+  test_kwargs = dict(
+      render_size=args.render_size or None, with_ssim=args.msssim_loss,
+      save_depth=args.depth_images, extra_kwargs=extra_kwargs,
+      extra_maps=extra_maps,
+      chunk=(args.test_crop_size ** 2 if args.test_crop_size else 65536),
+      only_view=args.render_frame if args.render_frame >= 0 else None,
+      white_bg=args.test_white_bg, with_alpha=args.with_alpha,
+      exp_bg=args.exp_bg,
+      colormap=args.plt_cmap_kind if args.draw_colormap else None,
+      normals_from_depth=args.normals_from_depth,
+      depth_query_normal=args.depth_query_normal)
+
   results = {}
   if not args.notraintest:
     results["train"] = driver.test(
         model, params, ds, out_dir=os.path.join(args.outdir, "train"),
-        render_size=args.render_size or None, with_ssim=args.msssim_loss,
-        save_depth=args.depth_images, extra_kwargs=extra_kwargs,
-        extra_maps=extra_maps,
-        chunk=(args.test_crop_size ** 2 if args.test_crop_size else 65536))
+        **test_kwargs)
     print("[train]", results["train"]["summary"])
   if not args.notest:
     tb = load(args.data, data_kind=args.data_kind, training=False,
@@ -456,22 +853,69 @@ def main():
     tds = apply_light_kind(args, tds)
     results["test"] = driver.test(
         model, params, tds, out_dir=os.path.join(args.outdir, "test"),
-        render_size=args.render_size or None, with_ssim=args.msssim_loss,
-        save_depth=args.depth_images, extra_kwargs=extra_kwargs,
-        extra_maps=extra_maps,
-        chunk=(args.test_crop_size ** 2 if args.test_crop_size else 65536))
+        **test_kwargs)
     print("[test]", results["test"]["summary"])
+    if args.has_multi_light and args.data_kind == "nerv_point":
+      # the multi-point-light split (reference runner.py:969-977)
+      mb = load(args.data, data_kind="nerv_point", training=False,
+                size=args.size, multi_point=True)
+      mds = apply_light_kind(args, sampler.RayDataset.from_bundle(
+          mb, size=args.size))
+      results["test_multi"] = driver.test(
+          model, params, mds,
+          out_dir=os.path.join(args.outdir, "test_multi"), **test_kwargs)
+      print("[test multi-light]", results["test_multi"]["summary"])
+
+  if args.cluster_movement > 0 and dynamic:
+    save_movement_clusters(model, params, ds, args.cluster_movement,
+                           os.path.join(args.outdir, "clusters.png"))
 
   if args.render_over_time >= 0 and dynamic:
-    frames = driver.render_over_time(model, params, ds,
-                                     view=args.render_over_time,
-                                     frames=args.render_frames)
+    frames = driver.render_over_time(
+        model, params, ds, view=args.render_over_time,
+        frames=args.render_frames, end_sec=args.render_over_time_end_sec)
     import imageio.v2 as imageio
     vid_path = os.path.join(args.outdir, "over_time.gif")
     imageio.mimwrite(vid_path,
                      (np.clip(frames[..., :3], 0, 1) * 255).astype("uint8"))
     print(f"[time] wrote {vid_path}")
+    if args.render_bezier_keyframes and args.spline > 1:
+      # one frame per Bezier control-point time (reference
+      # render_keyframes, src/nerf.py:1292-1303)
+      kf = driver.render_over_time(model, params, ds,
+                                   view=args.render_over_time,
+                                   frames=args.spline)
+      import imageio.v2 as imageio
+      for i in range(kf.shape[0]):
+        imageio.imwrite(
+            os.path.join(args.outdir, f"keyframe_{i:02d}.png"),
+            (np.clip(kf[i, ..., :3], 0, 1) * 255).astype("uint8"))
+      print(f"[time] wrote {args.spline} keyframes")
   return results
+
+
+def save_movement_clusters(model, params, ds, k: int, out_path: str):
+  """--cluster-movement: k-means over the integrated deformation field of
+  view 0 (reference runner.py:317), colored by cluster id."""
+  from nerf_atlas_tpu.train import driver
+  flow = driver.render_view(model, params, ds, 0, min(ds.size, 64),
+                            mode="flow", time_val=0.5)      # [S, S, 3]
+  pts = flow.reshape(-1, 3)
+  rng = np.random.RandomState(0)
+  centers = pts[rng.choice(len(pts), k, replace=False)]
+  for _ in range(10):                                       # lloyd steps
+    d = np.linalg.norm(pts[:, None] - centers[None], axis=-1)
+    assign = d.argmin(-1)
+    for c in range(k):
+      sel = pts[assign == c]
+      if len(sel):
+        centers[c] = sel.mean(0)
+  import matplotlib
+  cm = matplotlib.colormaps["tab10"]
+  img = cm(assign.reshape(flow.shape[:2]) % 10)[..., :3]
+  import imageio.v2 as imageio
+  imageio.imwrite(out_path, (img * 255).astype(np.uint8))
+  print(f"[clusters] wrote {out_path}")
 
 
 def run_neural_upsample(args, ds):
@@ -487,6 +931,9 @@ def run_neural_upsample(args, ds):
   model = models.NeuralUpsampled(
       low_res=lo, out_res=args.size, steps=args.steps, t_near=args.near,
       t_far=args.far, sky_kind=args.sky_kind,
+      # --feature-space: width of the upsampler's feature images (the
+      # reference renders feature_space channels at low res)
+      feats=(args.feature_space if args.feature_space != 3 else 32),
       canonical_kind=args.model if args.model != "pixel-single" else "plain",
       canonical_kwargs=({} if args.model in ("tiny", "mpi", "voxel")
                         else {"refl_kind": args.refl_kind}))

@@ -3,9 +3,10 @@
 distribution against a PointNet discriminator over surface samples.
 
 Capability parity: /root/reference/scripts/gan_sdf.py (657 LoC) — targets
-are an analytic sphere or a trained VolSDF checkpoint's SDF; global plus
-rescaled-local discrimination; orthographic turntable rendering of
-normals/depth.
+are an analytic sphere or a trained VolSDF checkpoint's SDF; plain-MLP or
+latent-conditioned multi-resolution generator (--g-model multi_res);
+global plus rescaled-local discrimination; orthographic turntable
+rendering of normals/depth.
 
 Usage:
   python scripts/gan_sdf.py --steps 2000 --target sphere --out outputs/gan_sdf
@@ -32,10 +33,65 @@ def arguments():
                  choices=["sphere", "spheres", "checkpoint"])
   a.add_argument("--load", default=None,
                  help="VolSDF checkpoint for --target checkpoint")
+  a.add_argument("--g-model", default="mlp", choices=["mlp", "multi_res"],
+                 help="generator: plain MLP SDF or the latent-conditioned "
+                      "multi-resolution generator")
+  a.add_argument("--latent-size", type=int, default=32,
+                 help="per-resolution latent size for multi_res")
+  a.add_argument("--resolutions", type=int, default=3)
   a.add_argument("--out", default="outputs/gan_sdf")
   a.add_argument("--render-size", type=int, default=64)
   a.add_argument("-lr", type=float, default=1e-4)
   return a.parse_args()
+
+
+def _smooth_floor(x, r):
+  """Smooth staircase: quantizes x to steps of r while staying C∞ (the
+  coarser MultiRes tiers see spatially-smoothed coordinates; reference
+  scripts/gan_sdf.py:28-29 — its missing 1/(2π) makes the original
+  non-monotone, the intended monotone form is used here)."""
+  return x - jnp.sin(2 * jnp.pi * x / r) * r / (2 * jnp.pi)
+
+
+class MultiResSDF:
+  """Latent-conditioned multi-resolution SDF generator (reference
+  scripts/gan_sdf.py:464-497): one latent-conditioned MLP per resolution
+  tier, coarser tiers read smooth-floored coordinates, outputs sum. The
+  learned `latent` parameter is the GAN's generator code."""
+
+  def __init__(self, latent_size: int = 32, resolutions: int = 3):
+    from flax import linen as nn
+
+    from nerf_atlas_tpu.nn import FourierEncoder, SkipConnMLP
+
+    class _Mod(nn.Module):
+      lat: int
+      res: int
+
+      @nn.compact
+      def __call__(self, pts):
+        latent = self.param("latent", nn.initializers.normal(1.0),
+                            (self.res, self.lat))
+        out = 0.0
+        for i in range(self.res):
+          x = pts if i == 0 else _smooth_floor(pts, 1.0 / i)
+          l_i = jnp.broadcast_to(latent[i], pts.shape[:-1] + (self.lat,))
+          mlp = SkipConnMLP(in_size=3, out=1, latent_size=self.lat,
+                            enc=FourierEncoder(input_dims=3),
+                            num_layers=4, hidden_size=256,
+                            name=f"tier_{i}")
+          out = out + mlp(x, l_i)
+        # sphere-biased init like the plain generator
+        return (out[..., 0] + jnp.linalg.norm(pts, axis=-1) - 1.0,
+                out[..., 1:])
+
+    self.mod = _Mod(lat=latent_size, res=resolutions)
+
+  def init(self, key, pts):
+    return self.mod.init(key, pts)
+
+  def apply(self, params, pts):
+    return self.mod.apply(params, pts)
 
 
 def target_sdf_fn(args):
@@ -86,7 +142,11 @@ def main():
   from nerf_atlas_tpu import models
   from nerf_atlas_tpu.nn import PointNet
 
-  gen = models.load_sdf_shape("mlp")
+  if args.g_model == "multi_res":
+    gen = MultiResSDF(latent_size=args.latent_size,
+                      resolutions=args.resolutions)
+  else:
+    gen = models.load_sdf_shape("mlp")
   disc = PointNet(feats=128)         # global shape discriminator
   disc_local = PointNet(feats=64)    # rescaled-local patch discriminator
   tgt = target_sdf_fn(args)

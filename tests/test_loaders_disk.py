@@ -108,3 +108,62 @@ def test_single_image_loader(tmp_path):
   assert loaders.kind_from_path(p) == "pixel-single"
   bundle = loaders.load(p, size=16)
   assert bundle.labels.shape == (1, 16, 16, 3)
+
+
+def test_dnerf_gibson_quirks(tmp_path):
+  """Gibson datasets: camera_angle_x in DEGREES, world-to-camera
+  matrices (inverted on load), `timestep` instead of `time`
+  (reference src/loaders.py:113-124)."""
+  import imageio.v2 as imageio
+  root = str(tmp_path / "gibson_scene")
+  os.makedirs(os.path.join(root, "train"), exist_ok=True)
+  n, size = 3, 16
+  poses = np.asarray(synthetic.hemisphere_poses(n))
+  poses4 = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+  poses4[:, :3, :4] = poses[:, :3, :4]
+  frames = []
+  for i in range(n):
+    rel = f"train/r_{i}"
+    imageio.imwrite(os.path.join(root, rel + ".png"),
+                    np.full((size, size, 3), 128, np.uint8))
+    frames.append({"file_path": rel,
+                   "transform_matrix": np.linalg.inv(poses4[i]).tolist(),
+                   "timestep": float(i)})     # 0..2: needs normalization
+  meta = {"camera_angle_x": np.degrees(0.6911), "frames": frames}
+  with open(os.path.join(root, "transforms_train.json"), "w") as f:
+    json.dump(meta, f)
+  bundle = loaders.load(root, data_kind="dnerf", training=True, size=size)
+  _, times = bundle.labels
+  np.testing.assert_allclose(times, [0, 0.5, 1], atol=1e-6)
+  # the inverse-of-inverse restores the original camera-to-world poses
+  c2w = np.asarray(bundle.camera.cam_to_world)[:, :3, :4]
+  np.testing.assert_allclose(c2w, poses4[:, :3, :4], atol=1e-4)
+  # degrees converted: focal matches the radian-loaded equivalent
+  from nerf_atlas_tpu.data import cameras as cam_lib
+  ref_cam = cam_lib.NeRFCamera.from_json_transforms(poses, 0.6911, size)
+  np.testing.assert_allclose(float(bundle.camera.focal),
+                             float(ref_cam.focal), rtol=1e-5)
+
+
+def test_nerv_multi_point_split(tmp_path):
+  """multi_point=True loads frames 100+ at per-light intensity 55
+  (reference src/loaders.py:198,219-221)."""
+  import imageio.v2 as imageio
+  root = str(tmp_path / "nerv")
+  os.makedirs(os.path.join(root, "train"), exist_ok=True)
+  poses = np.asarray(synthetic.hemisphere_poses(4))
+  frames = []
+  for i in range(4):
+    rel = f"train/r_{i}"
+    imageio.imwrite(os.path.join(root, rel + ".png"),
+                    np.full((8, 8, 3), 100, np.uint8))
+    frames.append({"file_path": rel, "transform_matrix": poses[i].tolist(),
+                   "light_loc": [[0.0, 2.0, 0.0], [1.0, 2.0, 0.0]]})
+  meta = {"camera_angle_x": 0.6911, "frames": frames}
+  with open(os.path.join(root, "transforms_train.json"), "w") as f:
+    json.dump(meta, f)
+  # fewer than 100 frames: the [:100] / [100:] split falls back to all
+  b = loaders.nerv_point(root, training=True, size=8)
+  assert b.labels.shape[0] == 4
+  bm = loaders.nerv_point(root, training=True, size=8, multi_point=True)
+  assert bm.lights["intensity"] == 55.0
