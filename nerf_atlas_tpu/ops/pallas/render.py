@@ -45,7 +45,10 @@ INTERMEDIATE = 32
 R_HIDDEN = 128
 R_LAYERS = 5
 
-DEFAULT_BLOCK_RAYS = 64
+# measured on v5e (800x800 frame, 64 steps): 64 -> 516.8k rays/s,
+# 128 -> 536.4k, 256 -> 547.0k but a ~30-minute Mosaic compile; 128 is
+# the sweet spot
+DEFAULT_BLOCK_RAYS = 128
 
 
 def _dot(a, b):
@@ -56,12 +59,91 @@ def _dot(a, b):
 
 
 def _leaky_relu(x):
-  return jnp.where(x >= 0, x, 0.01 * x).astype(jnp.bfloat16)
+  # max(x, 0.01x) ≡ leaky-relu without a compare/select pair
+  return jnp.maximum(x, 0.01 * x).astype(jnp.bfloat16)
+
+
+CP_R_TOTAL = sum(CP_RESOLUTIONS)                 # 240
+
+
+def _pack_lines(line_ws, dtype=jnp.bfloat16):
+  """4× [3, R, K] per-level CP lines -> [3, 240, 32] block-diagonal.
+
+  Lets the kernel evaluate ALL levels' hat bases as one 240-wide stream
+  and one matmul per axis: the 4 narrow [P, R≤128] hat arrays each pad to
+  128 lanes on the VPU (up to 8× wasted lanes) and the 12 thin dots pad
+  both operands on the MXU — packed, the same math is 4 VPU ops on
+  [P, 256] and 3 matmuls, ~2× less VPU and ~2× less padded-MXU work."""
+  packed = jnp.zeros((3, CP_R_TOTAL, ENC_DIM), dtype)
+  r0, k0 = 0, 0
+  for lines, r in zip(line_ws, CP_RESOLUTIONS):
+    packed = packed.at[:, r0:r0 + r, k0:k0 + CP_RANK].set(
+        lines.astype(dtype))
+    r0 += r
+    k0 += CP_RANK
+  return packed
+
+
+def _hat_consts():
+  """([1, 240] centers in [0,1], [1, 240] per-level scales R-1), built
+  from iota in-kernel (Pallas forbids captured array constants)."""
+  j = jax.lax.broadcasted_iota(jnp.int32, (1, CP_R_TOTAL), 1)
+  base = jnp.zeros((1, CP_R_TOTAL), jnp.int32)
+  # piecewise per level: scale = R_l - 1, base = level start offset
+  scale = jnp.zeros((1, CP_R_TOTAL), jnp.float32)
+  r0 = 0
+  for r in CP_RESOLUTIONS:
+    sel = jnp.logical_and(j >= r0, j < r0 + r)
+    scale = jnp.where(sel, float(r - 1), scale)
+    base = jnp.where(sel, r0, base)
+    r0 += r
+  centers = (j - base).astype(jnp.float32) / scale
+  return centers, scale
 
 
 def _thin_sigmoid(v, eps: float = 1e-2):
   fat = jax.nn.sigmoid(v) * (1 - 2 * eps) - (-eps)
   return fat + eps
+
+
+# ---------------------------------------------------------------------------
+# Fast trig: Mosaic's jnp.sin dominates the whole kernel (removing the 6
+# siren sin layers was measured at 536k -> 1,568k rays/s). Replace with a
+# mod-2π range reduction + least-squares polynomial on [-π, π]
+# (max err: sin 1.7e-5, cos 2.4e-6 — far below the kernel's bf16 matmul
+# noise) at ~10 VPU ops per element.
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586
+_INV_TWO_PI = 0.15915494309189535
+_SIN_C = (9.999845867745e-01, -1.666325820430e-01, 8.312382933817e-03,
+          -1.931618219602e-04, 2.173210068083e-06)     # odd powers 1..9
+_COS_C = (9.999994434183e-01, -4.999955803669e-01, 4.166103157409e-02,
+          -1.386274326016e-03, 2.425313775008e-05,
+          -2.219369417630e-07)                         # even powers 0..10
+
+
+def _reduce_pi(y):
+  k = jnp.floor(y * _INV_TWO_PI + 0.5)
+  return y - k * _TWO_PI
+
+
+def _sin_approx(y):
+  r = _reduce_pi(y.astype(jnp.float32))
+  r2 = r * r
+  p = _SIN_C[4]
+  for c in (_SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
+    p = p * r2 + c
+  return r * p
+
+
+def _cos_approx(y):
+  r = _reduce_pi(y.astype(jnp.float32))
+  r2 = r * r
+  p = _COS_C[5]
+  for c in (_COS_C[4], _COS_C[3], _COS_C[2], _COS_C[1], _COS_C[0]):
+    p = p * r2 + c
+  return p
 
 
 def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
@@ -92,23 +174,16 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   pts = (r_o[:, None, :] + ts[0][None, :, None] * r_d[:, None, :]
          ).reshape(P, 3)
 
-  # ---- CP encoder ----
-  # (A packed block-diagonal single-matmul variant was measured neutral at
-  # best and costs the VMEM that lets BR=64 fit — per-level thin dots win.)
+  # ---- CP encoder (packed: all levels in one 240-wide hat stream) ----
   xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)    # bbox [-1, 1]
-  enc_parts = []
-  for R in CP_RESOLUTIONS:
-    lines = next_w()[...]                       # [3, R, K]
-    level = None
-    centers = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(
-        jnp.float32)
-    for axis in range(3):
-      v = xn[:, axis:axis + 1] * (R - 1)        # [P, 1]
-      w = jnp.maximum(1.0 - jnp.abs(v - centers), 0.0)  # [P, R]
-      f = _dot(w, lines[axis])                  # [P, K]
-      level = f if level is None else level * f
-    enc_parts.append(level)
-  enc = jnp.concatenate(enc_parts, axis=-1)     # [P, 32]
+  pw = next_w()[...]                            # [3, 240, 32] block-diag
+  c_cat, s_cat = _hat_consts()
+  enc = None
+  for axis in range(3):
+    w = jnp.maximum(
+        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
+    f = _dot(w, pw[axis])                       # [P, 32] (per-level K=8)
+    enc = f if enc is None else enc * f         # CP product per level
 
   # ---- density MLP (SkipConnMLP: layer_in, layer_0..4, layer_out) ----
   def dense(h):
@@ -132,7 +207,7 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1)  # [P, 5+32]
 
   def sin_act(x):
-    return jnp.sin(30.0 * x).astype(jnp.bfloat16)
+    return _sin_approx(30.0 * x).astype(jnp.bfloat16)
 
   h = sin_act(dense(r_in))
   for i in range(R_LAYERS):
@@ -205,6 +280,11 @@ def _dists_base(ts):
 
 def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
                   interpret):
+  # forward consumes the CP lines pre-packed into one block-diagonal
+  # tensor (the backward kernel keeps the per-level layout for its
+  # per-level gradient scatter)
+  ws = [_pack_lines(ws[:len(CP_RESOLUTIONS)])] + list(
+      ws[len(CP_RESOLUTIONS):])
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_kernel, steps=steps,
@@ -231,6 +311,10 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
       out_specs=out_spec,
       out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
       interpret=interpret,
+      # block_rays > 64 overflows the 16MB default scoped budget; v5e has
+      # 128MB VMEM/core
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
   )(rays, elaz, ts, dists, *ws)
 
 
@@ -313,9 +397,11 @@ def _flatten_bt(m, B, T):
   return jnp.sum(colsel * rep, axis=1, keepdims=True)
 
 
-def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
-                       steps, block_rays):
-  """refs = (*w_refs, *dw_refs) in `_flatten_params` order."""
+def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
+                       packed_ref, *refs, steps, block_rays):
+  """refs = (*w_refs, *dw_refs) in `_flatten_params` order; packed_ref is
+  the [3, 240, 32] block-diagonal CP lines (same packing as the forward
+  kernel) — gradients still scatter to the per-level [3, R, K] grefs."""
   wrefs = refs[:N_WS]
   grefs = refs[N_WS:]
   assert len(grefs) == N_WS
@@ -352,28 +438,18 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
          ).reshape(P, 3)
 
   # ---- forward recompute, stashing the chain in VMEM ----
+  # packed CP: one 240-wide hat stream + one matmul per axis (see the
+  # forward kernel); per-axis features [P, 32] hold all levels' K=8 cols
   xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)
-  fs = []                                        # per level: [f0, f1, f2]
-  enc_parts = []
-  hats = []                                      # hat bases per level/axis
-  for li, R in enumerate(CP_RESOLUTIONS):
-    lines = wrefs[li][...]
-    centers = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(
-        jnp.float32)
-    level_fs = []
-    level_hats = []
-    level = None
-    for axis in range(3):
-      v = xn[:, axis:axis + 1] * (R - 1)
-      w = jnp.maximum(1.0 - jnp.abs(v - centers), 0.0)
-      f = _dot(w, lines[axis])
-      level_fs.append(f)
-      level_hats.append(w.astype(jnp.bfloat16))
-      level = f if level is None else level * f
-    fs.append(level_fs)
-    hats.append(level_hats)
-    enc_parts.append(level)
-  enc = jnp.concatenate(enc_parts, axis=-1).astype(jnp.bfloat16)
+  pw = packed_ref[...]                           # [3, 240, 32]
+  c_cat, s_cat = _hat_consts()
+  w_cats, f_axes = [], []
+  for axis in range(3):
+    w = jnp.maximum(
+        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
+    w_cats.append(w.astype(jnp.bfloat16))
+    f_axes.append(_dot(w, pw[axis]))
+  enc = (f_axes[0] * f_axes[1] * f_axes[2]).astype(jnp.bfloat16)
 
   def dense_fwd(h, k, refl=False):
     w, b = rwb(k) if refl else wb(k)
@@ -398,13 +474,13 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   r_zs = []                                      # refl pre-activations
   z = dense_fwd(r_in, 0, refl=True)
   r_zs.append(z.astype(jnp.bfloat16))
-  h = jnp.sin(30.0 * z).astype(jnp.bfloat16)
+  h = _sin_approx(30.0 * z).astype(jnp.bfloat16)
   for i in range(R_LAYERS):
     if i % SKIP == 0 and i > 0:
       h = jnp.concatenate([h, r_in], axis=-1)
     z = dense_fwd(h, i + 1, refl=True)
     r_zs.append(z.astype(jnp.bfloat16))
-    h = jnp.sin(30.0 * z).astype(jnp.bfloat16)
+    h = _sin_approx(30.0 * z).astype(jnp.bfloat16)
   rgb_raw = dense_fwd(h, R_LAYERS + 1, refl=True)         # [P, 3]
   sig = jax.nn.sigmoid(rgb_raw)
   eps = 1e-2
@@ -452,7 +528,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   # ---- backward: refl MLP ----
   def sin_f32(z):
     # Mosaic has no bf16 sin; the stash is bf16, so upcast to evaluate
-    return jnp.sin(30.0 * z.astype(jnp.float32))
+    return _sin_approx(30.0 * z.astype(jnp.float32))
 
   h_last = sin_f32(r_zs[R_LAYERS])
   w_out, _ = rwb(R_LAYERS + 1)
@@ -462,7 +538,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   dr_in = jnp.zeros((P, r_in.shape[-1]), jnp.float32)
   for i in range(R_LAYERS - 1, -1, -1):
     z = r_zs[i + 1]
-    dz = dh * (30.0 * jnp.cos(30.0 * z.astype(jnp.float32)))
+    dz = dh * (30.0 * _cos_approx(30.0 * z.astype(jnp.float32)))
     if i % SKIP == 0 and i > 0:
       x_i = jnp.concatenate([sin_f32(r_zs[i]).astype(jnp.bfloat16), r_in],
                             axis=-1)
@@ -477,7 +553,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
     else:
       dh = dx
   z0 = r_zs[0]
-  dz0 = dh * (30.0 * jnp.cos(30.0 * z0.astype(jnp.float32)))
+  dz0 = dh * (30.0 * _cos_approx(30.0 * z0.astype(jnp.float32)))
   w_rin, _ = rwb(0)
   acc_rwb(0, _dot_t(r_in, dz0), jnp.sum(dz0, axis=0, keepdims=True))
   dr_in = dr_in + _dot_nt(dz0, w_rin)
@@ -516,20 +592,23 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   denc = denc + _dot_nt(dz, w_din)
 
   # ---- backward: CP encoder (lines only; no position grads) ----
-  off = 0
-  for li, R in enumerate(CP_RESOLUTIONS):
-    dlevel = denc[:, off:off + CP_RANK]
-    off += CP_RANK
-    f0, f1, f2 = fs[li]
-    others = (f1 * f2, f0 * f2, f0 * f1)
-    for axis in range(3):
-      df = dlevel * others[axis]
-      dl = _dot_t(hats[li][axis], df)                     # [R, K]
-      grefs[li][axis] = grefs[li][axis] + dl
+  # d lines_axis = w_catᵀ @ (denc ⊙ Π_{other axes} f) — one [240, 32]
+  # matmul per axis; per-level grads are its diagonal blocks
+  for axis in range(3):
+    b, c = [a for a in range(3) if a != axis]
+    df = denc * (f_axes[b] * f_axes[c])
+    dl = _dot_t(w_cats[axis], df)                         # [240, 32]
+    r0, k0 = 0, 0
+    for li, R in enumerate(CP_RESOLUTIONS):
+      grefs[li][axis] = (grefs[li][axis]
+                         + dl[r0:r0 + R, k0:k0 + CP_RANK])
+      r0 += R
+      k0 += CP_RANK
 
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                    interpret):
+  packed = _pack_lines(ws[:len(CP_RESOLUTIONS)])
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_bwd_kernel, steps=steps,
@@ -544,6 +623,8 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
               pl.BlockSpec((1, steps), lambda i: (0, 0),
                            memory_space=pltpu.VMEM),
               pl.BlockSpec((1, steps), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)]
   out_specs, out_shapes = [], []
   for w in ws:
@@ -565,7 +646,7 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
       # budget; v5e has 128MB VMEM/core
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(rays, elaz, g, ts, dists, *ws)
+  )(rays, elaz, g, ts, dists, packed, *ws)
 
 
 @functools.lru_cache(maxsize=8)
@@ -621,3 +702,41 @@ def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
   dists = _dists_base(ts)
   render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret)
   return render(ws, rays, elaz, ts, dists)
+
+
+def fused_plain_cp_render_train_sharded(
+    params, rays, ts=None, *, mesh, axis: str = "data", steps: int = 64,
+    t_near: float = 2.0, t_far: float = 6.0,
+    block_rays: int = DEFAULT_BLOCK_RAYS,
+    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False):
+  """Multi-chip fused training render: rays shard over the mesh's data
+  axis, weights replicate, and each chip runs the fused kernel on its
+  shard. Differentiation works through shard_map's transpose — the
+  replicated-weight cotangents are psum'ed over ICI automatically, so
+  `jax.grad` of a loss over the global batch yields the correctly
+  all-reduced weight gradients (the Pallas analog of the XLA oracle's
+  sharding-constraint data parallelism in train/driver.py).
+
+  N must be a multiple of mesh.size * block_rays.
+  """
+  from jax.sharding import PartitionSpec as P
+  try:
+    from jax.experimental.shard_map import shard_map
+  except ImportError:  # newer jax: promoted out of experimental
+    from jax import shard_map
+
+  ws = tuple(_flatten_params(params))
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret)
+
+  smapped = shard_map(
+      render,
+      mesh=mesh,
+      in_specs=(P(), P(axis), P(axis), P(), P()),
+      out_specs=P(axis),
+      check_rep=False)   # custom_vjp inside: skip the replication check
+  return smapped(ws, rays, elaz, ts, dists)

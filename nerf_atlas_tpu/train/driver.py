@@ -137,15 +137,21 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         or jax.default_backend() == "cpu"):
       return None
     if (extra_kwargs or cfg.train_camera or cfg.crop_size > 0
-        or mesh is not None or ds.times is not None
+        or ds.times is not None
         or getattr(ds, "lights", None) is not None
         or cfg.batch_size % 64 != 0
         or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)
         or cfg.omit_bg):  # omit-bg's zeroed-loss gate lives in the
       return None         # oracle branch only
 
-    from ..ops.pallas.render import (fused_plain_cp_render_train,
+    from ..ops.pallas.render import (DEFAULT_BLOCK_RAYS,
+                                     fused_plain_cp_render_train,
+                                     fused_plain_cp_render_train_sharded,
                                      _flatten_params)
+    if mesh is not None and (
+        mesh.size == 1
+        or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+      return None
     _flatten_params(params)  # raises if the param structure diverges
     from ..ops import rays as rays_ops
 
@@ -153,6 +159,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       # shared stratified jitter, matching the oracle's train-time ts
       ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
                                perturb=1.0, key=key)[None]
+      if mesh is not None:
+        # multi-chip: shard rays over the data axis, run the kernel
+        # per-chip, psum the weight cotangents via shard_map's transpose
+        return fused_plain_cp_render_train_sharded(
+            p, rays, ts, mesh=mesh, steps=model.steps,
+            t_near=model.t_near, t_far=model.t_far)
       return fused_plain_cp_render_train(
           p, rays, ts, steps=model.steps, t_near=model.t_near,
           t_far=model.t_far)

@@ -80,3 +80,41 @@ def test_fused_render_grad_matches_oracle():
       checked += 1
   assert np.sqrt(num / den) < 0.03, np.sqrt(num / den)
   assert checked > 20  # every weight/bias actually received gradient
+
+
+def test_fused_render_sharded_grad_matches_single():
+  """shard_map multi-chip fused train path: outputs match the single-chip
+  kernel and weight grads come back correctly psum'ed (8-device virtual
+  CPU mesh, interpret mode)."""
+  from nerf_atlas_tpu.ops.pallas.render import (
+      fused_plain_cp_render_train_sharded)
+  from nerf_atlas_tpu.parallel import make_mesh
+  mesh = make_mesh(8)
+  model = models.PlainNeRF(steps=8, t_near=2.0, t_far=6.0, enc_kind="cp")
+  n = 128  # 8 devices x 16-ray blocks
+  key = jax.random.PRNGKey(7)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  def loss(p, sharded):
+    kw = dict(steps=8, t_near=2.0, t_far=6.0, block_rays=16,
+              bwd_block_rays=16, interpret=True)
+    if sharded:
+      out = fused_plain_cp_render_train_sharded(p, rays, mesh=mesh, **kw)
+    else:
+      out = fused_plain_cp_render_train(p, rays, **kw)
+    return (jnp.mean((out[:, :3] - target) ** 2)
+            + jnp.mean((out[:, 3] - 0.7) ** 2))
+
+  ls, gs = jax.value_and_grad(lambda p: loss(p, True))(params)
+  l1, g1 = jax.value_and_grad(lambda p: loss(p, False))(params)
+  np.testing.assert_allclose(float(ls), float(l1), rtol=1e-5)
+  for path, a in jax.tree_util.tree_leaves_with_path(gs):
+    b = dict(jax.tree_util.tree_leaves_with_path(g1))[path]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                               atol=1e-6,
+                               err_msg=jax.tree_util.keystr(path))
