@@ -25,8 +25,15 @@ from flax import serialization
 
 
 def save(path: str, params, config: Optional[Dict[str, Any]] = None,
-         opt_state=None, step: int = 0, versioned: bool = False):
-  """Write params (+ optional optimizer state) and a JSON config sidecar."""
+         opt_state=None, step: int = 0, versioned: bool = False,
+         async_save: bool = False):
+  """Write params (+ optional optimizer state) and a JSON config sidecar.
+
+  async_save: serialize on the calling thread (arrays fetched to host)
+  but write to disk on a daemon thread so the train loop never blocks on
+  IO (the orbax-style async pattern SURVEY §5 calls for). Writes go to a
+  temp file + atomic rename, so a crash mid-save never corrupts the
+  previous checkpoint."""
   if versioned:
     base, ext = os.path.splitext(path)
     path = f"{base}_{step:07d}{ext}"
@@ -34,12 +41,34 @@ def save(path: str, params, config: Optional[Dict[str, Any]] = None,
   payload = {"params": params, "step": step}
   if opt_state is not None:
     payload["opt_state"] = opt_state
-  with open(path, "wb") as f:
-    f.write(serialization.to_bytes(payload))
-  if config is not None:
-    with open(path + ".json", "w") as f:
-      json.dump(config, f, indent=2, default=str)
+  data = serialization.to_bytes(payload)
+
+  def _write():
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+      f.write(data)
+    os.replace(tmp, path)
+    if config is not None:
+      with open(path + ".json", "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+  if async_save:
+    import threading
+    t = threading.Thread(target=_write, daemon=True)
+    t.start()
+    _PENDING_SAVES.append(t)
+  else:
+    _write()
   return path
+
+
+_PENDING_SAVES: list = []
+
+
+def wait_for_saves():
+  """Block until all async checkpoint writes have landed."""
+  while _PENDING_SAVES:
+    _PENDING_SAVES.pop().join()
 
 
 def load(path: str, like: Optional[Dict[str, Any]] = None):

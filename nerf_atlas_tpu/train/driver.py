@@ -387,14 +387,18 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
         if callback:
           callback(m)
       if cfg.save_freq and (i + 1) % cfg.save_freq == 0:
+        # periodic saves are async (daemon writer thread + atomic
+        # rename) so the step loop never blocks on IO
         checkpoints.save(cfg.save_path, params, config=config_dict,
                          opt_state=opt_state if cfg.save_load_opt else None,
-                         step=i + 1, versioned=cfg.versioned_save)
+                         step=i + 1, versioned=cfg.versioned_save,
+                         async_save=True)
       if cfg.valid_freq and (i + 1) % cfg.valid_freq == 0:
         _save_valid_image(model, params, ds, cfg, i + 1, extra_kwargs)
       if cfg.duration_sec and time.time() - start > cfg.duration_sec:
         break
   if cfg.save_freq:
+    checkpoints.wait_for_saves()
     checkpoints.save(cfg.save_path, params, config=config_dict,
                      opt_state=opt_state if cfg.save_load_opt else None,
                      step=cfg.steps)

@@ -215,6 +215,9 @@ def arguments(argv=None):
   a.add_argument("--torchjit", action="store_true",
                  help="no-op: the XLA jit is always on (flag kept for "
                       "reference recipe compatibility)")
+  a.add_argument("--debug-nans", action="store_true",
+                 help="enable jax_debug_nans (traps the first NaN at its "
+                      "producing op; SURVEY §5 sanitizer)")
   a.add_argument("--data-parallel", action="store_true",
                  help="no-op unless --mesh-devices 1 was set: ray batches "
                       "data-parallel over the device mesh by default")
@@ -640,6 +643,9 @@ def main():
     args.model = "bendy"
   if args.torchjit:
     print("[note]: --torchjit is a no-op — the XLA jit is always on")
+  if args.debug_nans:
+    import jax
+    jax.config.update("jax_debug_nans", True)
   if args.data_parallel and args.mesh_devices == 1:
     args.mesh_devices = 0     # re-enable the mesh
   if not args.derive_kind and args.data_kind is None:

@@ -141,3 +141,15 @@ def test_sphere_init_flag():
   # with the bias the zero-init MLP gives exactly ||p|| - 1
   assert abs(sd_on - 1.0) < 0.2
   assert abs(sd_off) < 0.2
+
+
+def test_async_checkpoint_save(tmp_path):
+  from nerf_atlas_tpu.train import checkpoints
+  p = str(tmp_path / "m.ckpt")
+  params = {"params": {"w": np.ones((4, 4), np.float32)}}
+  checkpoints.save(p, params, step=7, async_save=True)
+  checkpoints.wait_for_saves()
+  raw = checkpoints.load(p)
+  assert raw["step"] == 7
+  np.testing.assert_array_equal(raw["params"]["params"]["w"],
+                                np.ones((4, 4)))
