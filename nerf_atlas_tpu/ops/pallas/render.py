@@ -106,6 +106,37 @@ def _thin_sigmoid(v, eps: float = 1e-2):
   return fat + eps
 
 
+# rgb output activations the kernels support (ops/math.py SIGMOID_KINDS
+# members with cheap elementwise derivatives; cyclic/softmax/sin stay on
+# the XLA oracle). Each entry: v -> (act(v), dact/dv).
+def _rgb_act_grad(v, kind: str):
+  eps = 1e-2
+  if kind in ("thin", "fat", "normal", "upshifted"):
+    s = jax.nn.sigmoid(v)
+    ds = s * (1.0 - s)
+    if kind == "thin":
+      return s * (1 - 2 * eps) + 2 * eps, ds * (1 - 2 * eps)
+    if kind == "fat":
+      return s * (1 + 2 * eps) - eps, ds * (1 + 2 * eps)
+    if kind == "upshifted":
+      return s + eps, ds
+    return s, ds
+  if kind == "tanh":
+    t = jnp.tanh(v)
+    return t, 1.0 - t * t
+  if kind in ("relu", "upshifted_relu"):
+    r = jnp.maximum(v, 0.0)
+    step = 0.5 + 0.5 * jnp.sign(v)
+    return (r + eps if kind == "upshifted_relu" else r), step
+  if kind == "leaky_relu":
+    return jnp.maximum(v, 0.01 * v), 0.505 + 0.495 * jnp.sign(v)
+  raise NotImplementedError(f"fused kernel: rgb act {kind}")
+
+
+FUSED_SIGMOID_KINDS = ("thin", "fat", "normal", "upshifted", "tanh",
+                       "relu", "upshifted_relu", "leaky_relu")
+
+
 # ---------------------------------------------------------------------------
 # Fast trig: Mosaic's jnp.sin dominates the whole kernel (removing the 6
 # siren sin layers was measured at 536k -> 1,568k rays/s). Replace with a
@@ -147,7 +178,7 @@ def _cos_approx(y):
 
 
 def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
-                   block_rays):
+                   block_rays, sigmoid_kind="thin", sky_white=False):
   """refs: [w list..., out_ref]. Weight order produced by `_flatten_params`.
   elaz_ref: per-ray (elev, azim) of the view direction, precomputed outside
   the kernel (Mosaic has no acos/atan2 primitives). ts_ref/dists_ref
@@ -215,7 +246,7 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
       h = jnp.concatenate([h, r_in], axis=-1)
     h = sin_act(dense(h))
   rgb_raw = dense(h)                            # [P, 3]
-  rgb = _thin_sigmoid(rgb_raw)
+  rgb, _ = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
   # ---- compositing (matches ops.integrate.alpha_from_density) ----
   sigma = jax.nn.softplus(density - 1.0)        # [P, 1]
@@ -237,10 +268,16 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   weights = alpha * jnp.exp(excl)
 
   # per-channel weighted sum along T (avoids a [B, T, 3] VMEM tensor)
+  acc = jnp.sum(weights, axis=-1, keepdims=True)
+  # white sky rides the leftover transmittance EXCLUDING the 1e10 tail
+  # sample (ops.integrate.leftover_transmittance: the tail is always
+  # opaque under softplus density, so the sky replaces it)
+  sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
   for c in range(3):
     rc = rgb[:, c:c + 1].reshape(B, T)
-    out_ref[:, c:c + 1] = jnp.sum(weights * rc, axis=-1, keepdims=True)
-  out_ref[:, 3:4] = jnp.sum(weights, axis=-1, keepdims=True)
+    out_ref[:, c:c + 1] = (jnp.sum(weights * rc, axis=-1, keepdims=True)
+                           + sky)
+  out_ref[:, 3:4] = acc
 
 
 def _flatten_params(params) -> Sequence[jnp.ndarray]:
@@ -279,7 +316,7 @@ def _dists_base(ts):
 
 
 def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
-                  interpret):
+                  interpret, sigmoid_kind="thin", sky_white=False):
   # forward consumes the CP lines pre-packed into one block-diagonal
   # tensor (the backward kernel keeps the per-level layout for its
   # per-level gradient scatter)
@@ -288,7 +325,9 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_kernel, steps=steps,
-                             block_rays=block_rays)
+                             block_rays=block_rays,
+                             sigmoid_kind=sigmoid_kind,
+                             sky_white=sky_white)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
@@ -319,11 +358,14 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
-                                             "block_rays", "interpret"))
+                                             "block_rays", "interpret",
+                                             "sigmoid_kind", "sky_kind"))
 def fused_plain_cp_render(params, rays, *, steps: int = 64,
                           t_near: float = 2.0, t_far: float = 6.0,
                           block_rays: int = DEFAULT_BLOCK_RAYS,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          sigmoid_kind: str = "thin",
+                          sky_kind: str = "black"):
   """Render rays [N, 6] -> [N, 4] (rgb ‖ acc) with the fused kernel.
 
   params: the flax params of models.PlainNeRF(enc_kind="cp") with default
@@ -338,8 +380,11 @@ def fused_plain_cp_render(params, rays, *, steps: int = 64,
   elaz = dir_to_elev_azim(rays[:, 3:6])          # [N, 2] host-side math
   ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
+  # "random" sky contributes only during training -> black at eval
   return _forward_call(ws, rays, elaz, ts, dists, steps=steps,
-                       block_rays=block_rays, interpret=interpret)
+                       block_rays=block_rays, interpret=interpret,
+                       sigmoid_kind=sigmoid_kind,
+                       sky_white=sky_kind == "white")
 
 
 # ---------------------------------------------------------------------------
@@ -398,7 +443,8 @@ def _flatten_bt(m, B, T):
 
 
 def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
-                       packed_ref, *refs, steps, block_rays):
+                       packed_ref, *refs, steps, block_rays,
+                       sigmoid_kind="thin", sky_white=False):
   """refs = (*w_refs, *dw_refs) in `_flatten_params` order; packed_ref is
   the [3, 240, 32] block-diagonal CP lines (same packing as the forward
   kernel) — gradients still scatter to the per-level [3, R, K] grefs."""
@@ -482,9 +528,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
     r_zs.append(z.astype(jnp.bfloat16))
     h = _sin_approx(30.0 * z).astype(jnp.bfloat16)
   rgb_raw = dense_fwd(h, R_LAYERS + 1, refl=True)         # [P, 3]
-  sig = jax.nn.sigmoid(rgb_raw)
-  eps = 1e-2
-  rgb = sig * (1 - 2 * eps) + 2 * eps                     # thin sigmoid
+  rgb, dact = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
   sigma = jax.nn.softplus(density - 1.0)
   d_bt = sigma.reshape(B, T)
@@ -507,9 +551,16 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   g = g_ref[:, :]                                         # [B, 4]
   A = jnp.broadcast_to(g[:, 3:4], (B, T))                 # dL/dw_t (acc)
   drgb_cols = []
+  if sky_white:
+    # out_c += 1 - Σ_{t<T-1} w_t  =>  dL/dw_t -= g_c for every non-tail
+    # sample (the tail is excluded from the leftover, see forward)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    sky_mask = (tcol < T - 1).astype(jnp.float32)
+  else:
+    sky_mask = 0.0
   for c in range(3):
     rc = rgb[:, c:c + 1].reshape(B, T)
-    A = A + g[:, c:c + 1] * rc
+    A = A + g[:, c:c + 1] * (rc - sky_mask)
     drgb_cols.append(_flatten_bt(g[:, c:c + 1] * weights, B, T))
   drgb = jnp.concatenate(drgb_cols, axis=-1)              # [P, 3]
 
@@ -523,7 +574,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   ddensity = (_flatten_bt(dsig_bt, B, T)
               * jax.nn.sigmoid(density - 1.0))            # [P, 1]
 
-  drgb_raw = drgb * (1 - 2 * eps) * sig * (1 - sig)       # [P, 3]
+  drgb_raw = drgb * dact                                  # [P, 3]
 
   # ---- backward: refl MLP ----
   def sin_f32(z):
@@ -607,12 +658,14 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
 
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
-                   interpret):
+                   interpret, sigmoid_kind="thin", sky_white=False):
   packed = _pack_lines(ws[:len(CP_RESOLUTIONS)])
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_bwd_kernel, steps=steps,
-                             block_rays=block_rays)
+                             block_rays=block_rays,
+                             sigmoid_kind=sigmoid_kind,
+                             sky_white=sky_white)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
@@ -650,7 +703,8 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
 
 
 @functools.lru_cache(maxsize=8)
-def _make_diff_render(steps, block_rays, bwd_block_rays, interpret):
+def _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
+                      sigmoid_kind="thin", sky_white=False):
   """Per-config custom-VJP fused render: (ws, rays, elaz, ts, dists) ->
   [N, 4]. Gradients flow to the weights only (rays/ts get zeros — camera
   training stays on the XLA oracle path)."""
@@ -661,7 +715,8 @@ def _make_diff_render(steps, block_rays, bwd_block_rays, interpret):
         w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
         for w in ws)
     return _forward_call(ws_bf, rays, elaz, ts, dists, steps=steps,
-                         block_rays=block_rays, interpret=interpret)
+                         block_rays=block_rays, interpret=interpret,
+                         sigmoid_kind=sigmoid_kind, sky_white=sky_white)
 
   def fwd(ws, rays, elaz, ts, dists):
     return render(ws, rays, elaz, ts, dists), (ws, rays, elaz, ts, dists)
@@ -672,7 +727,8 @@ def _make_diff_render(steps, block_rays, bwd_block_rays, interpret):
         w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
         for w in ws)
     dws = _backward_call(ws_bf, rays, elaz, ts, dists, g, steps=steps,
-                         block_rays=bwd_block_rays, interpret=interpret)
+                         block_rays=bwd_block_rays, interpret=interpret,
+                         sigmoid_kind=sigmoid_kind, sky_white=sky_white)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
             jnp.zeros_like(ts), jnp.zeros_like(dists))
@@ -685,7 +741,9 @@ def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
                                 t_near: float = 2.0, t_far: float = 6.0,
                                 block_rays: int = DEFAULT_BLOCK_RAYS,
                                 bwd_block_rays: int = BWD_BLOCK_RAYS,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                sigmoid_kind: str = "thin",
+                                sky_kind: str = "black"):
   """Differentiable fused render for the training path: [N, 6] -> [N, 4]
   with gradients w.r.t. `params` via the custom-VJP backward kernel.
 
@@ -700,7 +758,8 @@ def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
   if ts is None:
     ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
-  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret)
+  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
+                             sigmoid_kind, sky_kind == "white")
   return render(ws, rays, elaz, ts, dists)
 
 
@@ -708,7 +767,8 @@ def fused_plain_cp_render_train_sharded(
     params, rays, ts=None, *, mesh, axis: str = "data", steps: int = 64,
     t_near: float = 2.0, t_far: float = 6.0,
     block_rays: int = DEFAULT_BLOCK_RAYS,
-    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False):
+    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
+    sigmoid_kind: str = "thin", sky_kind: str = "black"):
   """Multi-chip fused training render: rays shard over the mesh's data
   axis, weights replicate, and each chip runs the fused kernel on its
   shard. Differentiation works through shard_map's transpose — the
@@ -721,9 +781,9 @@ def fused_plain_cp_render_train_sharded(
   """
   from jax.sharding import PartitionSpec as P
   try:
+    from jax import shard_map  # jax >= 0.8
+  except ImportError:
     from jax.experimental.shard_map import shard_map
-  except ImportError:  # newer jax: promoted out of experimental
-    from jax import shard_map
 
   ws = tuple(_flatten_params(params))
   from ...ops.math import dir_to_elev_azim
@@ -731,12 +791,19 @@ def fused_plain_cp_render_train_sharded(
   if ts is None:
     ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
-  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret)
+  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
+                             sigmoid_kind, sky_kind == "white")
 
+  import inspect
+  sig = inspect.signature(shard_map).parameters
+  # custom_vjp inside: skip the replication/VMA check (renamed across
+  # jax versions)
+  no_check = ({"check_vma": False} if "check_vma" in sig
+              else {"check_rep": False})
   smapped = shard_map(
       render,
       mesh=mesh,
       in_specs=(P(), P(axis), P(axis), P(), P()),
       out_specs=P(axis),
-      check_rep=False)   # custom_vjp inside: skip the replication check
+      **no_check)
   return smapped(ws, rays, elaz, ts, dists)

@@ -128,10 +128,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
   try:
     from ..models import PlainNeRF
     from .regularizers import REGULARIZERS
+    from ..ops.pallas.render import FUSED_SIGMOID_KINDS
     if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
-        or model.sky_kind != "black" or model.mip is not None
+        or model.sky_kind not in ("black", "white") or model.mip is not None
         or model.refl_kind != "view" or model.intermediate_size != 32
-        or model.latent_size != 0 or model.sigmoid_kind != "thin"
+        or model.latent_size != 0
+        or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
         or model.refl_space != "identity" or model.density_noise != 0
         or model.per_ray_jitter or model.lindisp
         or jax.default_backend() == "cpu"):
@@ -164,10 +166,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         # per-chip, psum the weight cotangents via shard_map's transpose
         return fused_plain_cp_render_train_sharded(
             p, rays, ts, mesh=mesh, steps=model.steps,
-            t_near=model.t_near, t_far=model.t_far)
+            t_near=model.t_near, t_far=model.t_far,
+            sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
       return fused_plain_cp_render_train(
           p, rays, ts, steps=model.steps, t_near=model.t_near,
-          t_far=model.t_far)
+          t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+          sky_kind=model.sky_kind)
 
     return fn
   except Exception:  # noqa: BLE001 — any mismatch falls back to the oracle
@@ -451,14 +455,17 @@ def _fused_render_fn(model, params):
   None otherwise (the pure-XLA oracle renders everything else)."""
   try:
     from ..models import PlainNeRF
+    from ..ops.pallas.render import FUSED_SIGMOID_KINDS
     if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
-        or model.sky_kind != "black" or model.mip is not None
+        or model.sky_kind not in ("black", "white", "random")
+        or model.mip is not None
         or model.refl_kind != "view" or model.intermediate_size != 32
-        or model.latent_size != 0 or model.sigmoid_kind != "thin"
+        or model.latent_size != 0
+        or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
         or model.refl_space != "identity"
         or jax.default_backend() == "cpu"):
-      # the kernel hardcodes the 'thin' rgb sigmoid and identity refl
-      # space; any other config must render through the XLA oracle
+      # configs outside the kernel's rgb-activation / sky / identity-
+      # space envelope render through the XLA oracle
       return None
     from ..ops.pallas import fused_plain_cp_render
     from ..ops.pallas.render import DEFAULT_BLOCK_RAYS, _flatten_params
@@ -470,7 +477,9 @@ def _fused_render_fn(model, params):
       pad = (-n) % br
       rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
       out = fused_plain_cp_render(p, rc, steps=model.steps,
-                                  t_near=model.t_near, t_far=model.t_far)
+                                  t_near=model.t_near, t_far=model.t_far,
+                                  sigmoid_kind=model.sigmoid_kind,
+                                  sky_kind=model.sky_kind)
       return out[:n, :3]
 
     return fn

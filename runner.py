@@ -68,6 +68,10 @@ def arguments(argv=None):
   a.add_argument("--per-ray-jitter", action="store_true",
                  help="independent per-ray stratified sample jitter")
   a.add_argument("--mip", default=None, choices=[None, "cone", "cylinder"])
+  a.add_argument("--enc-kind", default="cp",
+                 choices=["cp", "hash", "posenc"],
+                 help="plain-NeRF spatial encoder (cp = TPU-native "
+                      "factorized volume, the fused-kernel fast path)")
   a.add_argument("--sigmoid-kind", default="thin")
   a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
                  choices=["black", "white", "random", "mlp"])
@@ -426,6 +430,7 @@ def build_model(args, dynamic: bool):
     kwargs["refl_kind"] = args.refl_kind
     if kind == "plain":
       kwargs["mip"] = args.mip
+      kwargs["enc_kind"] = args.enc_kind
       kwargs["refl_space"] = args.space_kind
       if refl_kwargs:
         kwargs["refl_kwargs"] = refl_kwargs

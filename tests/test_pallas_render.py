@@ -118,3 +118,49 @@ def test_fused_render_sharded_grad_matches_single():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                atol=1e-6,
                                err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_render_white_sky_fat_sigmoid():
+  """The widened kernel envelope: white sky + non-thin rgb activation
+  match the oracle in both forward and gradient."""
+  from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_render_train
+  model = models.PlainNeRF(steps=8, t_near=2.0, t_far=6.0, enc_kind="cp",
+                           sky_kind="white", sigmoid_kind="fat")
+  n = 32
+  key = jax.random.PRNGKey(11)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  fused = fused_plain_cp_render(params, rays, steps=8, block_rays=16,
+                                interpret=True, sigmoid_kind="fat",
+                                sky_kind="white")
+  oracle = model.apply(params, rays)
+  np.testing.assert_allclose(np.asarray(fused[:, :3]),
+                             np.asarray(oracle["rgb"]), atol=2e-2)
+
+  def loss_fused(p):
+    out = fused_plain_cp_render_train(p, rays, steps=8, t_near=2.0,
+                                      t_far=6.0, block_rays=16,
+                                      bwd_block_rays=16, interpret=True,
+                                      sigmoid_kind="fat",
+                                      sky_kind="white")
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  def loss_oracle(p):
+    return jnp.mean((model.apply(p, rays)["rgb"] - target) ** 2)
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+  num, den = 0.0, 0.0
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  for path, g_f in jax.tree_util.tree_leaves_with_path(gf):
+    a = np.asarray(g_f, np.float64)
+    b = np.asarray(flat_o[path], np.float64)
+    num += np.sum((a - b) ** 2)
+    den += np.sum(b ** 2)
+  assert np.sqrt(num / den) < 0.03, np.sqrt(num / den)
