@@ -164,3 +164,31 @@ def test_fused_render_white_sky_fat_sigmoid():
     num += np.sum((a - b) ** 2)
     den += np.sum(b ** 2)
   assert np.sqrt(num / den) < 0.03, np.sqrt(num / den)
+
+
+def test_rgb_act_matches_sigmoid_zoo():
+  """Every fused rgb activation matches ops.math.SIGMOID_KINDS and its
+  hand-derivative matches autograd (away from relu kinks)."""
+  from nerf_atlas_tpu.ops.math import SIGMOID_KINDS
+  from nerf_atlas_tpu.ops.pallas.render import (FUSED_SIGMOID_KINDS,
+                                                _rgb_act_grad)
+  v = jnp.linspace(-3.1, 2.9, 61)   # avoids exactly 0
+  for kind in FUSED_SIGMOID_KINDS:
+    act, dact = _rgb_act_grad(v, kind)
+    ref = SIGMOID_KINDS[kind](v)
+    np.testing.assert_allclose(np.asarray(act), np.asarray(ref),
+                               atol=1e-6, err_msg=kind)
+    num = jax.vmap(jax.grad(lambda x, k=kind: _rgb_act_grad(x, k)[0]))(v)
+    np.testing.assert_allclose(np.asarray(dact), np.asarray(num),
+                               atol=1e-5, err_msg=kind)
+
+
+def test_fast_trig_error_bound():
+  """The kernels' polynomial sin/cos stay within their documented error
+  over many periods (range reduction correctness)."""
+  from nerf_atlas_tpu.ops.pallas.render import _cos_approx, _sin_approx
+  y = jnp.linspace(-40.0, 40.0, 40001)   # ±6 periods of sin(30x), x~1.3
+  es = np.abs(np.asarray(_sin_approx(y)) - np.sin(np.asarray(y))).max()
+  ec = np.abs(np.asarray(_cos_approx(y)) - np.cos(np.asarray(y))).max()
+  assert es < 5e-5, es
+  assert ec < 1e-5, ec
