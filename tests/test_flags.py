@@ -41,12 +41,12 @@ def test_every_flag_is_consumed():
 
 
 def test_flag_count_vs_reference():
-  """The reference's runner has ~155 add_argument calls; track coverage
-  (soft floor so regressions are visible)."""
+  """The reference's runner has ~155 add_argument calls; round 2 reached
+  full parity — pin the floor there so regressions are visible."""
   src = open(os.path.join(os.path.dirname(__file__), "..",
                           "runner.py")).read()
   n = len(re.findall(r"add_argument\(", src))
-  assert n >= 95, n
+  assert n >= 155, n
 
 
 def test_param_file_cli_precedence(tmp_path):
