@@ -147,7 +147,137 @@ def bench_train(params, fused: bool):
   return n * TRAIN_BATCH / dt
 
 
+def _config_model(kind):
+  """The five canonical BASELINE.json model families (reference makefile
+  recipes original:8-13, ae:380-384, volsdf:21-28, dnerf:105-114)."""
+  from nerf_atlas_tpu import models
+  common = dict(steps=STEPS, t_near=2.0, t_far=6.0, sky_kind="black")
+  if kind == "tiny":
+    return models.TinyNeRF(**common), False
+  if kind == "ae":
+    return models.NeRFAE(**common), False
+  if kind == "volsdf":
+    return models.VolSDF(sdf_kind="mlp", refl_kind="view", **common), False
+  if kind == "dnerf":
+    return models.DynamicNeRF(
+        canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
+        spline_points=0, **common), True
+  raise ValueError(kind)
+
+
+def _train_batch():
+  key = jax.random.PRNGKey(0)
+  r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (TRAIN_BATCH, 1))
+  r_d = (jax.random.normal(key, (TRAIN_BATCH, 3)) * 0.1
+         + jnp.array([0.0, 0.0, -1.0]))
+  rays = jnp.concatenate([r_o, r_d], axis=-1)
+  target = jax.random.uniform(jax.random.PRNGKey(1), (TRAIN_BATCH, 3))
+  times = jax.random.uniform(jax.random.PRNGKey(4), (TRAIN_BATCH,))
+  return rays, target, times
+
+
+def bench_config_train(kind, fused=False, n=15):
+  """Train-step rays/s for one canonical config (XLA oracle, or the fused
+  dyn kernel for kind='dnerf' with fused=True)."""
+  import optax
+  from nerf_atlas_tpu.ops import rays as rays_ops
+  model, needs_times = _config_model(kind)
+  rays, target, times = _train_batch()
+  kwargs = {"times": times} if needs_times else {}
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays[:256],
+                      train=True, **({k: v[:256] for k, v in kwargs.items()}
+                                     if kwargs else {}))
+  tx = optax.adam(5e-4)
+  opt_state = tx.init(params)
+
+  @jax.jit
+  def step(params, opt_state, k):
+    def loss_fn(p):
+      if fused:
+        from nerf_atlas_tpu.ops.pallas.render_dyn import (
+            fused_dyn_cp_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_dyn_cp_render_train(p, rays, times, ts, steps=STEPS,
+                                        t_near=2.0, t_far=6.0)[:, :3]
+      else:
+        rgb = model.apply(p, rays, train=True, rngs={"sampler": k},
+                          **kwargs)["rgb"]
+      return jnp.mean((rgb - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+  k = jax.random.PRNGKey(2)
+  p, s = params, opt_state
+  p, s, l = step(p, s, k)
+  float(l)                                       # compile + warm
+  t0 = time.perf_counter()
+  for i in range(n):
+    p, s, l = step(p, s, jax.random.fold_in(k, i))
+  float(l)                                       # single device->host sync
+  dt = time.perf_counter() - t0
+  return n * TRAIN_BATCH / dt
+
+
+def bench_config_render(kind, n_rays=262_144, chunk=65_536, reps=2):
+  """Eval-render rays/s for one canonical config through the XLA path."""
+  model, needs_times = _config_model(kind)
+  rays = _frame_rays()[:n_rays]
+  times = jnp.linspace(0.0, 1.0, rays.shape[0])
+  kwargs = {"times": times[:256]} if needs_times else {}
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays[:256],
+                      train=True, **kwargs)
+
+  @jax.jit
+  def render(params, rc, tc, acc):
+    kw = {"times": tc} if needs_times else {}
+    out = model.apply(params, rc, **kw)["rgb"]
+    return acc + jnp.sum(out)
+
+  chunks = [(rays[i:i + chunk], times[i:i + chunk])
+            for i in range(0, rays.shape[0], chunk)]
+  float(render(params, chunks[0][0], chunks[0][1], jnp.float32(0)))
+  t0 = time.perf_counter()
+  acc = jnp.float32(0)
+  for _ in range(reps):
+    for rc, tc in chunks:
+      acc = render(params, rc, tc, acc)
+  float(acc)
+  dt = (time.perf_counter() - t0) / reps
+  return rays.shape[0] / dt
+
+
+def _per_config_table(baseline_table):
+  """rays/s for every canonical config; vs_baseline uses the reference's
+  per-config CPU measurement when available."""
+  table = {}
+  for kind in ("tiny", "ae", "volsdf", "dnerf"):
+    entry = {}
+    try:
+      entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
+      entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
+    except Exception as e:  # noqa: BLE001
+      entry["error"] = f"{type(e).__name__}: {e}"
+    if kind == "dnerf":
+      try:
+        entry["train_rays_per_sec_fused"] = round(
+            bench_config_train(kind, fused=True), 1)
+      except Exception as e:  # noqa: BLE001
+        entry["fused_error"] = f"{type(e).__name__}: {e}"
+    ref = baseline_table.get(kind)
+    if isinstance(ref, (int, float)) and entry.get("train_rays_per_sec"):
+      best = entry.get("train_rays_per_sec_fused") or entry[
+          "train_rays_per_sec"]
+      entry["train_vs_baseline"] = round(best / ref, 2)
+    table[kind] = entry
+  return table
+
+
 def main():
+  import sys
   model = _flagship(jnp.bfloat16)
   rays = _frame_rays()
   params = model.init({"params": jax.random.PRNGKey(0),
@@ -163,6 +293,20 @@ def main():
     train_fused = None
   train_xla = bench_train(params, fused=False)
 
+  try:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.json")) as f:
+      ref_table = json.load(f)["measured_reference"].get(
+          "per_config_rays_per_sec", {})
+  except Exception:  # noqa: BLE001
+    ref_table = {}
+  try:
+    configs = _per_config_table(ref_table)
+  except Exception as e:  # noqa: BLE001
+    print(f"# per-config bench failed: {type(e).__name__}: {e}",
+          file=sys.stderr, flush=True)
+    configs = {}
+
   baseline, baseline_src = _baseline()
   print(json.dumps({
       "metric": "rays/sec/chip, real 800x800 frame, PlainNeRF-CP 64 steps",
@@ -176,6 +320,7 @@ def main():
       "train_rays_per_sec_xla": round(train_xla, 1),
       "train_vs_baseline": (None if train_fused is None
                             else round(train_fused / baseline, 2)),
+      "configs": configs,
   }))
 
 

@@ -126,6 +126,9 @@ ae:  # (reference makefile:380-384)
 # ---- tooling --------------------------------------------------------------
 
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 bench:

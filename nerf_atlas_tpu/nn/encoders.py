@@ -27,23 +27,27 @@ class PositionalEncoder(nn.Module):
   include_input appends the raw input.
   """
   input_dims: int = 3
-  max_freq_log2: int = 5
+  max_freq_log2: float = 5
+  min_freq_log2: float = 0.0   # reference bands start at 2^1 (set 1.0)
   num_freqs: int = 6
   log_sampling: bool = True
-  include_input: bool = True
+  include_input: bool = False  # SkipConnMLP already concats the raw input
 
   def size(self) -> int:
     return self.input_dims * (2 * self.num_freqs + int(self.include_input))
 
   @nn.compact
   def __call__(self, x):
+    """Feature order matches the reference (src/neural_blocks.py:30-34):
+    dim-major bands — [sin(x_0 b_0..b_F), sin(x_1 b_0..), ..., cos(...)]."""
     if self.log_sampling:
-      freqs = 2.0 ** jnp.linspace(0.0, self.max_freq_log2, self.num_freqs)
+      freqs = 2.0 ** jnp.linspace(self.min_freq_log2, self.max_freq_log2,
+                                  self.num_freqs)
     else:
       freqs = jnp.linspace(1.0, 2.0 ** self.max_freq_log2, self.num_freqs)
-    xb = x[..., None, :] * freqs[:, None]                  # [..., F, D]
+    xb = x[..., :, None] * freqs                           # [..., D, F]
+    xb = xb.reshape(x.shape[:-1] + (-1,))
     enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)
-    enc = enc.reshape(x.shape[:-1] + (-1,))
     if self.include_input:
       enc = jnp.concatenate([x, enc], axis=-1)
     return enc

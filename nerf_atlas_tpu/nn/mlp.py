@@ -42,12 +42,24 @@ INIT_KINDS = ("xavier", "kaiming", "siren", "zero")
 class SkipConnMLP(nn.Module):
   """MLP with periodic skip-concatenation of the encoded input.
 
+  Wiring matches the reference (src/neural_blocks.py:279-311) exactly —
+  verified by weight-transplant parity in tests/test_parity_reference.py:
+    init = concat(x, enc(x), latent)      # raw input ALWAYS included
+    h    = layer_in(init)
+    for i in range(num_layers):
+      if i % skip == 0 and i != num_layers - 1:
+        h = concat(h, init)               # skip fires at i=0 too
+      h = layer_i(act(h))                 # pre-activation order
+    out  = layer_out(act(h))
+
   in_size:    raw input feature width (pre-encoding)
   out:        output feature width
   latent_size: width of the optional latent concatenated to the input
   enc:        optional encoder module applied to the raw input
   num_layers / hidden_size / skip: architecture
-  activation: hidden nonlinearity (ignored for siren init, which uses sin)
+  activation: hidden nonlinearity (ignored for siren init, which uses
+              sin(siren_w0 * x); the reference leaves its siren users at
+              plain torch.sin — set siren_w0=1.0 for that behavior)
   init:       one of INIT_KINDS
   zero_last / uniform_last: last-layer treatment (stabilizes residual
               fields like Δx deformations)
@@ -62,6 +74,7 @@ class SkipConnMLP(nn.Module):
   skip: int = 3
   activation: Callable = nn.leaky_relu
   init_kind: str = "xavier"
+  siren_w0: float = 30.0
   zero_last: bool = False
   uniform_last: bool = False
   dtype: Any = jnp.float32
@@ -79,28 +92,28 @@ class SkipConnMLP(nn.Module):
     else:
       k_init = _siren_hidden_init
 
-    enc_x = self.enc(x) if self.enc is not None else x
+    parts = [x]
+    if self.enc is not None:
+      parts.append(self.enc(x))
     if latent is not None and self.latent_size > 0:
-      lat = jnp.broadcast_to(latent, enc_x.shape[:-1] + latent.shape[-1:])
-      init_feat = jnp.concatenate([enc_x, lat], axis=-1)
+      lat = jnp.broadcast_to(latent, x.shape[:-1] + latent.shape[-1:])
+      parts.append(lat)
     else:
       assert self.latent_size == 0, (
           f"expected latent of size {self.latent_size}, got None")
-      init_feat = enc_x
-    init_feat = init_feat.astype(self.dtype)
+    init_feat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
 
-    act = (lambda v: jnp.sin(30.0 * v)) if siren else self.activation
+    w0 = self.siren_w0
+    act = (lambda v: jnp.sin(w0 * v)) if siren else self.activation
 
     h = nn.Dense(self.hidden_size, dtype=self.dtype,
                  kernel_init=_siren_w0_init if siren else k_init,
                  name="layer_in")(init_feat)
-    h = act(h)
     for i in range(self.num_layers):
-      inp = (jnp.concatenate([h, init_feat], axis=-1)
-             if (i % self.skip) == 0 and i > 0 else h)
+      if (i % self.skip) == 0 and i != self.num_layers - 1:
+        h = jnp.concatenate([h, init_feat], axis=-1)
       h = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=k_init,
-                   name=f"layer_{i}")(inp)
-      h = act(h)
+                   name=f"layer_{i}")(act(h))
 
     if self.zero_last:
       last_init = nn.initializers.zeros
@@ -111,5 +124,5 @@ class SkipConnMLP(nn.Module):
     else:
       last_init = k_init
     out = nn.Dense(self.out, dtype=self.dtype, kernel_init=last_init,
-                   name="layer_out")(h)
+                   name="layer_out")(act(h))
     return out.astype(jnp.float32)

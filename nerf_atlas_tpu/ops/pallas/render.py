@@ -37,13 +37,19 @@ CP_RESOLUTIONS = (16, 32, 64, 128)
 CP_RANK = 8
 ENC_DIM = len(CP_RESOLUTIONS) * CP_RANK          # 32
 IN_DIM = 3
-FEAT_IN = ENC_DIM                                 # density MLP input
+FEAT_IN = IN_DIM + ENC_DIM                        # density MLP input: raw ‖ enc
 HIDDEN = 256
 N_LAYERS = 5
 SKIP = 3
 INTERMEDIATE = 32
 R_HIDDEN = 128
 R_LAYERS = 5
+
+
+def _skip_at(i: int, num_layers: int, skip: int = SKIP) -> bool:
+  """SkipConnMLP skip-concat schedule (reference wiring): layer i's input
+  gains the init features when i % skip == 0, except the last layer."""
+  return i % skip == 0 and i != num_layers - 1
 
 # measured on v5e (800x800 frame, 64 steps): 64 -> 516.8k rays/s,
 # 128 -> 536.4k, 256 -> 547.0k but a ~30-minute Mosaic compile; 128 is
@@ -159,6 +165,127 @@ def _reduce_pi(y):
   return y - k * _TWO_PI
 
 
+# ---------------------------------------------------------------------------
+# Shared SkipConnMLP chain (reference wiring, see nn/mlp.py):
+#   h = W_in·f;  for i: [h = cat(h, f) at skips];  h = W_i·act(h);
+#   out = W_out·act(h)
+# Used by the static render kernel's density/refl MLPs and the D-NeRF
+# kernel's warp/rigidity MLPs (render_dyn.py). `wbs` is a list of (w, b)
+# loaded arrays in (layer_in, layer_0.., layer_out) order; `act` maps a
+# pre-activation to a bf16 activation.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_fwd(init_feat, wbs, act, n_layers, stash=None):
+  h = _dot(init_feat, wbs[0][0]) + wbs[0][1][0]
+  if stash is not None:
+    stash.append(h.astype(jnp.bfloat16))
+  for i in range(n_layers):
+    if _skip_at(i, n_layers):
+      h = jnp.concatenate([h, init_feat.astype(h.dtype)], axis=-1)
+    h = _dot(act(h), wbs[i + 1][0]) + wbs[i + 1][1][0]
+    if stash is not None:
+      stash.append(h.astype(jnp.bfloat16))
+  return _dot(act(h), wbs[n_layers + 1][0]) + wbs[n_layers + 1][1][0]
+
+
+def _mlp_bwd(d_out, stash, init_feat, wbs, act, act_grad, n_layers, hidden):
+  """Hand-chained VJP of `_mlp_fwd` from the bf16 pre-activation stash.
+
+  Returns (d_init_feat [P, F] f32, grads list [(dW, db)] in wbs order).
+  `act_grad` maps a pre-activation to d act/d v in f32.
+  """
+  P, F = init_feat.shape
+  grads = [None] * (n_layers + 2)
+
+  def u(i):
+    h = stash[i]
+    if _skip_at(i, n_layers):
+      return jnp.concatenate([h, init_feat.astype(h.dtype)], axis=-1)
+    return h
+
+  grads[n_layers + 1] = (_dot_t(act(stash[n_layers]), d_out),
+                         jnp.sum(d_out, axis=0, keepdims=True))
+  dh = _dot_nt(d_out, wbs[n_layers + 1][0]) * act_grad(stash[n_layers])
+  d_init = jnp.zeros((P, F), jnp.float32)
+  for i in range(n_layers - 1, -1, -1):
+    u_i = u(i)
+    grads[i + 1] = (_dot_t(act(u_i), dh),
+                    jnp.sum(dh, axis=0, keepdims=True))
+    du = _dot_nt(dh, wbs[i + 1][0]) * act_grad(u_i)
+    if _skip_at(i, n_layers):
+      dh = du[:, :hidden]
+      d_init = d_init + du[:, hidden:]
+    else:
+      dh = du
+  grads[0] = (_dot_t(init_feat, dh), jnp.sum(dh, axis=0, keepdims=True))
+  d_init = d_init + _dot_nt(dh, wbs[0][0])
+  return d_init, grads
+
+
+def _leaky_act(v):
+  return _leaky_relu(v.astype(jnp.float32))
+
+
+def _leaky_grad(v):
+  # arithmetic in f32 (Mosaic supports neither vector<i1> relayouts nor
+  # bf16 compares here): 0.505 + 0.495·sign ≡ {1, 0.01}
+  return 0.505 + 0.495 * jnp.sign(v.astype(jnp.float32))
+
+
+def _sin30_act(v):
+  return _sin_approx(30.0 * v.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _sin30_grad(v):
+  return 30.0 * _cos_approx(30.0 * v.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Shared CP-encoder fwd/bwd (packed hat-basis form, see _pack_lines)
+# ---------------------------------------------------------------------------
+
+
+def _cp_fwd(pts, pw):
+  """pts [P, 3] -> (enc [P, 32] bf16, (xn, w_cats, f_axes) stash)."""
+  xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)
+  c_cat, s_cat = _hat_consts()
+  w_cats, f_axes = [], []
+  for axis in range(3):
+    w = jnp.maximum(
+        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
+    w_cats.append(w.astype(jnp.bfloat16))
+    f_axes.append(_dot(w.astype(jnp.bfloat16), pw[axis]))
+  enc = (f_axes[0] * f_axes[1] * f_axes[2]).astype(jnp.bfloat16)
+  return enc, (xn, w_cats, f_axes)
+
+
+def _cp_bwd(denc, cp_stash, pw, want_dpts: bool = False):
+  """VJP of `_cp_fwd`: returns (per-axis line grads [3 of [240, 32]],
+  d_pts [P, 3] f32 or None).
+
+  Position gradients (the D-NeRF warp path needs them): the hat basis is
+  piecewise linear — dw/dxn = -s·sign(xn - c) inside the support, and
+  xn = clip((p+1)/2) contributes 0.5 inside the bbox, 0 at the clamp."""
+  xn, w_cats, f_axes = cp_stash
+  c_cat, s_cat = _hat_consts()
+  dls, dxn_cols = [], []
+  for axis in range(3):
+    b, c = [a for a in range(3) if a != axis]
+    df = denc * (f_axes[b] * f_axes[c])
+    dls.append(_dot_t(w_cats[axis], df))                  # [240, 32]
+    if want_dpts:
+      dw = _dot_nt(df.astype(jnp.bfloat16), pw[axis])     # [P, 240]
+      x_a = xn[:, axis:axis + 1]
+      deriv = (-s_cat * jnp.sign(x_a - c_cat)
+               * jnp.sign(w_cats[axis].astype(jnp.float32)))
+      inb = jnp.sign(x_a) * jnp.sign(1.0 - x_a)           # 0 at the clamp
+      dxn_cols.append(jnp.sum(dw * deriv, axis=1, keepdims=True)
+                      * 0.5 * inb)
+  d_pts = jnp.concatenate(dxn_cols, axis=-1) if want_dpts else None
+  return dls, d_pts
+
+
 def _sin_approx(y):
   r = _reduce_pi(y.astype(jnp.float32))
   r2 = r * r
@@ -175,6 +302,86 @@ def _cos_approx(y):
   for c in (_COS_C[4], _COS_C[3], _COS_C[2], _COS_C[1], _COS_C[0]):
     p = p * r2 + c
   return p
+
+
+def _composite_fwd(density, r_d, dists_base, B, T):
+  """Transmittance compositing (matches ops.integrate.alpha_from_density).
+
+  density [P, 1] f32, r_d [B, 3], dists_base [1, T] (unscaled segment
+  lengths incl. the 1e10 tail). Returns (weights, alpha, trans,
+  one_m_alpha, dists), all [B, T] f32. The exclusive prefix sum over
+  log-transmittance is a strictly-lower-triangular matmul on the MXU.
+  """
+  sigma = jax.nn.softplus(density - 1.0)        # [P, 1]
+  d_bt = sigma.reshape(B, T)
+  rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))  # [B, 1]
+  dists = dists_base * rd_norm                  # [B, T]
+  alpha = 1.0 - jnp.exp(-d_bt * dists)          # [B, T]
+  # NOTE: `1.0 - alpha + 1e-10` is UNSAFE here — XLA reassociates it to
+  # (1.0 + 1e-10) - alpha, which rounds the constant back to 1.0 and
+  # yields exactly 0 at saturated samples; clamp explicitly instead.
+  one_m_alpha = jnp.maximum(1.0 - alpha, 1e-10)
+  log_t = jnp.log(one_m_alpha)
+  row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+  lower = (row < col).astype(jnp.float32)       # L[j, i] = 1 if j < i
+  excl = jax.lax.dot_general(
+      log_t, lower, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)       # [B, T]
+  trans = jnp.exp(excl)
+  return alpha * trans, alpha, trans, one_m_alpha, dists
+
+
+def _composite_bwd(g, rgb, density, weights, alpha, trans, one_m_alpha,
+                   dists, B, T, sky_white):
+  """VJP of `_composite_fwd` + the weighted rgb/acc outputs.
+
+  g [B, 4] output cotangent, rgb [P, 3]. Returns (drgb [P, 3],
+  ddensity [P, 1]). The suffix sum Σ_{s>t} A_s w_s is the transposed
+  triangular matmul of the forward's exclusive scan.
+  """
+  A = jnp.broadcast_to(g[:, 3:4], (B, T))                 # dL/dw_t (acc)
+  drgb_cols = []
+  if sky_white:
+    # out_c += 1 - Σ_{t<T-1} w_t  =>  dL/dw_t -= g_c for every non-tail
+    # sample (the tail is excluded from the leftover, see forward)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    sky_mask = (tcol < T - 1).astype(jnp.float32)
+  else:
+    sky_mask = 0.0
+  for c in range(3):
+    rc = rgb[:, c:c + 1].reshape(B, T)
+    A = A + g[:, c:c + 1] * (rc - sky_mask)
+    drgb_cols.append(_flatten_bt(g[:, c:c + 1] * weights, B, T))
+  drgb = jnp.concatenate(drgb_cols, axis=-1)              # [P, 3]
+
+  M = A * weights
+  row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+  upper = (row > col).astype(jnp.float32)                 # G[s, t] = s > t
+  S = jax.lax.dot_general(
+      M, upper, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # Σ_{s>t} A_s w_s
+  dalpha = A * trans - S / one_m_alpha
+  dsig_bt = dalpha * dists * (1.0 - alpha)                # exp(-σD) = 1-α
+  ddensity = (_flatten_bt(dsig_bt, B, T)
+              * jax.nn.sigmoid(density - 1.0))            # [P, 1]
+  return drgb, ddensity
+
+
+def _write_outputs(out_ref, rgb, weights, B, T, sky_white):
+  """Composited rgb + acc into out_ref [B, 4], column-at-a-time (avoids a
+  [B, T, 3] VMEM tensor)."""
+  acc = jnp.sum(weights, axis=-1, keepdims=True)
+  # white sky rides the leftover transmittance EXCLUDING the 1e10 tail
+  # sample (ops.integrate.leftover_transmittance: the tail is always
+  # opaque under softplus density, so the sky replaces it)
+  sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
+  for c in range(3):
+    rc = rgb[:, c:c + 1].reshape(B, T)
+    out_ref[:, c:c + 1] = (jnp.sum(weights * rc, axis=-1, keepdims=True)
+                           + sky)
+  out_ref[:, 3:4] = acc
 
 
 def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
@@ -206,29 +413,15 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
          ).reshape(P, 3)
 
   # ---- CP encoder (packed: all levels in one 240-wide hat stream) ----
-  xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)    # bbox [-1, 1]
   pw = next_w()[...]                            # [3, 240, 32] block-diag
-  c_cat, s_cat = _hat_consts()
-  enc = None
-  for axis in range(3):
-    w = jnp.maximum(
-        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
-    f = _dot(w, pw[axis])                       # [P, 32] (per-level K=8)
-    enc = f if enc is None else enc * f         # CP product per level
+  enc, _ = _cp_fwd(pts, pw)
 
-  # ---- density MLP (SkipConnMLP: layer_in, layer_0..4, layer_out) ----
-  def dense(h):
-    w = next_w()[...]
-    b = next_w()[...]
-    return _dot(h, w) + b[0]
+  def wbs(n_layers):
+    return [(next_w()[...], next_w()[...]) for _ in range(n_layers + 2)]
 
-  init_feat = enc
-  h = _leaky_relu(dense(init_feat))
-  for i in range(N_LAYERS):
-    if i % SKIP == 0 and i > 0:
-      h = jnp.concatenate([h, init_feat], axis=-1)
-    h = _leaky_relu(dense(h))
-  first_out = dense(h)                          # [P, 1 + 32]
+  # ---- density MLP (SkipConnMLP reference wiring, see nn/mlp.py) ----
+  init_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  first_out = _mlp_fwd(init_feat, wbs(N_LAYERS), _leaky_act, N_LAYERS)
   density = first_out[:, 0:1]                   # [P, 1]
   feats = first_out[:, 1:1 + INTERMEDIATE]
 
@@ -236,48 +429,13 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   elaz = elaz_ref[:, 0:2]                       # [B, 2] precomputed
   elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
   r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1)  # [P, 5+32]
-
-  def sin_act(x):
-    return _sin_approx(30.0 * x).astype(jnp.bfloat16)
-
-  h = sin_act(dense(r_in))
-  for i in range(R_LAYERS):
-    if i % SKIP == 0 and i > 0:
-      h = jnp.concatenate([h, r_in], axis=-1)
-    h = sin_act(dense(h))
-  rgb_raw = dense(h)                            # [P, 3]
+  rgb_raw = _mlp_fwd(r_in.astype(jnp.bfloat16), wbs(R_LAYERS), _sin30_act,
+                     R_LAYERS)                  # [P, 3]
   rgb, _ = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
   # ---- compositing (matches ops.integrate.alpha_from_density) ----
-  sigma = jax.nn.softplus(density - 1.0)        # [P, 1]
-  d_bt = sigma.reshape(B, T)
-  rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))  # [B, 1]
-  dists = dists_ref[:, :] * rd_norm             # [B, T]
-  alpha = 1.0 - jnp.exp(-d_bt * dists)          # [B, T]
-  # NOTE: `1.0 - alpha + 1e-10` is UNSAFE here — XLA reassociates it to
-  # (1.0 + 1e-10) - alpha, which rounds the constant back to 1.0 and
-  # yields exactly 0 at saturated samples; clamp explicitly instead.
-  log_t = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
-  # exclusive prefix sum along T as a strictly-lower-triangular matmul
-  row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-  col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-  lower = (row < col).astype(jnp.float32)       # L[j, i] = 1 if j < i
-  excl = jax.lax.dot_general(
-      log_t, lower, dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)       # [B, T]
-  weights = alpha * jnp.exp(excl)
-
-  # per-channel weighted sum along T (avoids a [B, T, 3] VMEM tensor)
-  acc = jnp.sum(weights, axis=-1, keepdims=True)
-  # white sky rides the leftover transmittance EXCLUDING the 1e10 tail
-  # sample (ops.integrate.leftover_transmittance: the tail is always
-  # opaque under softplus density, so the sky replaces it)
-  sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
-  for c in range(3):
-    rc = rgb[:, c:c + 1].reshape(B, T)
-    out_ref[:, c:c + 1] = (jnp.sum(weights * rc, axis=-1, keepdims=True)
-                           + sky)
-  out_ref[:, 3:4] = acc
+  weights, _, _, _, _ = _composite_fwd(density, r_d, dists_ref[:, :], B, T)
+  _write_outputs(out_ref, rgb, weights, B, T, sky_white)
 
 
 def _flatten_params(params) -> Sequence[jnp.ndarray]:
@@ -485,31 +643,17 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
 
   # ---- forward recompute, stashing the chain in VMEM ----
   # packed CP: one 240-wide hat stream + one matmul per axis (see the
-  # forward kernel); per-axis features [P, 32] hold all levels' K=8 cols
-  xn = jnp.clip((pts + 1.0) * 0.5, 0.0, 1.0)
+  # forward kernel); the stash holds each MLP layer's bf16 PRE-activation
+  # (skip-concat inputs are reconstructed from it + the init features)
   pw = packed_ref[...]                           # [3, 240, 32]
-  c_cat, s_cat = _hat_consts()
-  w_cats, f_axes = [], []
-  for axis in range(3):
-    w = jnp.maximum(
-        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
-    w_cats.append(w.astype(jnp.bfloat16))
-    f_axes.append(_dot(w, pw[axis]))
-  enc = (f_axes[0] * f_axes[1] * f_axes[2]).astype(jnp.bfloat16)
+  enc, cp_stash = _cp_fwd(pts, pw)
 
-  def dense_fwd(h, k, refl=False):
-    w, b = rwb(k) if refl else wb(k)
-    return _dot(h, w) + b[0]
+  wbs_d = [wb(k) for k in range(N_LAYERS + 2)]
+  wbs_r = [rwb(k) for k in range(R_LAYERS + 2)]
 
-  d_hs = []                                      # density post-activations
-  h = _leaky_relu(dense_fwd(enc, 0))
-  d_hs.append(h)
-  for i in range(N_LAYERS):
-    if i % SKIP == 0 and i > 0:
-      h = jnp.concatenate([h, enc], axis=-1)
-    h = _leaky_relu(dense_fwd(h, i + 1))
-    d_hs.append(h)
-  first_out = dense_fwd(h, N_LAYERS + 1)
+  d_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  d_hs = []                                      # density pre-activations
+  first_out = _mlp_fwd(d_feat, wbs_d, _leaky_act, N_LAYERS, stash=d_hs)
   density = first_out[:, 0:1]
   feats = first_out[:, 1:1 + INTERMEDIATE]
 
@@ -518,137 +662,39 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1).astype(jnp.bfloat16)
 
   r_zs = []                                      # refl pre-activations
-  z = dense_fwd(r_in, 0, refl=True)
-  r_zs.append(z.astype(jnp.bfloat16))
-  h = _sin_approx(30.0 * z).astype(jnp.bfloat16)
-  for i in range(R_LAYERS):
-    if i % SKIP == 0 and i > 0:
-      h = jnp.concatenate([h, r_in], axis=-1)
-    z = dense_fwd(h, i + 1, refl=True)
-    r_zs.append(z.astype(jnp.bfloat16))
-    h = _sin_approx(30.0 * z).astype(jnp.bfloat16)
-  rgb_raw = dense_fwd(h, R_LAYERS + 1, refl=True)         # [P, 3]
+  rgb_raw = _mlp_fwd(r_in, wbs_r, _sin30_act, R_LAYERS, stash=r_zs)
   rgb, dact = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
-  sigma = jax.nn.softplus(density - 1.0)
-  d_bt = sigma.reshape(B, T)
-  rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))
-  dists = dists_ref[:, :] * rd_norm                       # [B, T]
-  alpha = 1.0 - jnp.exp(-d_bt * dists)
-  one_m_alpha = jnp.maximum(1.0 - alpha, 1e-10)  # see forward: XLA
-  # reassociates `1 - alpha + eps`, so clamp instead of adding eps
-  log_t = jnp.log(one_m_alpha)
-  row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-  col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-  lower = (row < col).astype(jnp.float32)
-  excl = jax.lax.dot_general(
-      log_t, lower, dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)
-  trans = jnp.exp(excl)                                   # T_t
-  weights = alpha * trans
+  weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
+      density, r_d, dists_ref[:, :], B, T)
 
   # ---- backward: compositing ----
-  g = g_ref[:, :]                                         # [B, 4]
-  A = jnp.broadcast_to(g[:, 3:4], (B, T))                 # dL/dw_t (acc)
-  drgb_cols = []
-  if sky_white:
-    # out_c += 1 - Σ_{t<T-1} w_t  =>  dL/dw_t -= g_c for every non-tail
-    # sample (the tail is excluded from the leftover, see forward)
-    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    sky_mask = (tcol < T - 1).astype(jnp.float32)
-  else:
-    sky_mask = 0.0
-  for c in range(3):
-    rc = rgb[:, c:c + 1].reshape(B, T)
-    A = A + g[:, c:c + 1] * (rc - sky_mask)
-    drgb_cols.append(_flatten_bt(g[:, c:c + 1] * weights, B, T))
-  drgb = jnp.concatenate(drgb_cols, axis=-1)              # [P, 3]
-
-  M = A * weights
-  upper = (row > col).astype(jnp.float32)                 # G[s, t] = s > t
-  S = jax.lax.dot_general(
-      M, upper, dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)                 # Σ_{s>t} A_s w_s
-  dalpha = A * trans - S / one_m_alpha
-  dsig_bt = dalpha * dists * (1.0 - alpha)                # exp(-σD) = 1-α
-  ddensity = (_flatten_bt(dsig_bt, B, T)
-              * jax.nn.sigmoid(density - 1.0))            # [P, 1]
-
+  drgb, ddensity = _composite_bwd(g_ref[:, :], rgb, density, weights,
+                                  alpha, trans, one_m_alpha, dists, B, T,
+                                  sky_white)
   drgb_raw = drgb * dact                                  # [P, 3]
 
-  # ---- backward: refl MLP ----
-  def sin_f32(z):
-    # Mosaic has no bf16 sin; the stash is bf16, so upcast to evaluate
-    return _sin_approx(30.0 * z.astype(jnp.float32))
-
-  h_last = sin_f32(r_zs[R_LAYERS])
-  w_out, _ = rwb(R_LAYERS + 1)
-  acc_rwb(R_LAYERS + 1, _dot_t(h_last, drgb_raw),
-          jnp.sum(drgb_raw, axis=0, keepdims=True))
-  dh = _dot_nt(drgb_raw, w_out)
-  dr_in = jnp.zeros((P, r_in.shape[-1]), jnp.float32)
-  for i in range(R_LAYERS - 1, -1, -1):
-    z = r_zs[i + 1]
-    dz = dh * (30.0 * _cos_approx(30.0 * z.astype(jnp.float32)))
-    if i % SKIP == 0 and i > 0:
-      x_i = jnp.concatenate([sin_f32(r_zs[i]).astype(jnp.bfloat16), r_in],
-                            axis=-1)
-    else:
-      x_i = sin_f32(r_zs[i])
-    w_i, _ = rwb(i + 1)
-    acc_rwb(i + 1, _dot_t(x_i, dz), jnp.sum(dz, axis=0, keepdims=True))
-    dx = _dot_nt(dz, w_i)
-    if i % SKIP == 0 and i > 0:
-      dh = dx[:, :R_HIDDEN]
-      dr_in = dr_in + dx[:, R_HIDDEN:]
-    else:
-      dh = dx
-  z0 = r_zs[0]
-  dz0 = dh * (30.0 * _cos_approx(30.0 * z0.astype(jnp.float32)))
-  w_rin, _ = rwb(0)
-  acc_rwb(0, _dot_t(r_in, dz0), jnp.sum(dz0, axis=0, keepdims=True))
-  dr_in = dr_in + _dot_nt(dz0, w_rin)
+  # ---- backward: refl MLP (shared chain VJP, see _mlp_bwd) ----
+  dr_in, r_grads = _mlp_bwd(drgb_raw, r_zs, r_in, wbs_r, _sin30_act,
+                            _sin30_grad, R_LAYERS, R_HIDDEN)
+  for k, (dW, db) in enumerate(r_grads):
+    acc_rwb(k, dW, db)
   dfeats = dr_in[:, 5:5 + INTERMEDIATE]                   # pts/elaz: no grad
 
   # ---- backward: density MLP ----
   d_first = jnp.concatenate([ddensity, dfeats], axis=-1)  # [P, 33]
-  w_dout, _ = wb(N_LAYERS + 1)
-  acc_wb(N_LAYERS + 1, _dot_t(d_hs[N_LAYERS], d_first),
-         jnp.sum(d_first, axis=0, keepdims=True))
-  dh = _dot_nt(d_first, w_dout)
-  denc = jnp.zeros((P, ENC_DIM), jnp.float32)
-
-  def leaky_mask(hv):
-    # arithmetic in f32 (Mosaic supports neither vector<i1> relayouts nor
-    # bf16 compares here): 0.505 + 0.495·sign ≡ {1, 0.01}
-    return 0.505 + 0.495 * jnp.sign(hv.astype(jnp.float32))
-
-  for i in range(N_LAYERS - 1, -1, -1):
-    dz = dh * leaky_mask(d_hs[i + 1])
-    if i % SKIP == 0 and i > 0:
-      x_i = jnp.concatenate([d_hs[i], enc], axis=-1)
-    else:
-      x_i = d_hs[i]
-    w_i, _ = wb(i + 1)
-    acc_wb(i + 1, _dot_t(x_i, dz), jnp.sum(dz, axis=0, keepdims=True))
-    dx = _dot_nt(dz, w_i)
-    if i % SKIP == 0 and i > 0:
-      dh = dx[:, :HIDDEN]
-      denc = denc + dx[:, HIDDEN:]
-    else:
-      dh = dx
-  dz = dh * leaky_mask(d_hs[0])
-  w_din, _ = wb(0)
-  acc_wb(0, _dot_t(enc, dz), jnp.sum(dz, axis=0, keepdims=True))
-  denc = denc + _dot_nt(dz, w_din)
+  d_featg, d_grads = _mlp_bwd(d_first, d_hs, d_feat, wbs_d, _leaky_act,
+                              _leaky_grad, N_LAYERS, HIDDEN)
+  for k, (dW, db) in enumerate(d_grads):
+    acc_wb(k, dW, db)
+  denc = d_featg[:, IN_DIM:]                    # raw-pts grad discarded
 
   # ---- backward: CP encoder (lines only; no position grads) ----
   # d lines_axis = w_catᵀ @ (denc ⊙ Π_{other axes} f) — one [240, 32]
   # matmul per axis; per-level grads are its diagonal blocks
+  dls, _ = _cp_bwd(denc, cp_stash, pw, want_dpts=False)
   for axis in range(3):
-    b, c = [a for a in range(3) if a != axis]
-    df = denc * (f_axes[b] * f_axes[c])
-    dl = _dot_t(w_cats[axis], df)                         # [240, 32]
+    dl = dls[axis]
     r0, k0 = 0, 0
     for li, R in enumerate(CP_RESOLUTIONS):
       grefs[li][axis] = (grefs[li][axis]

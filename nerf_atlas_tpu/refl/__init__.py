@@ -14,7 +14,7 @@ from .brdf import (
 from .lights import LIGHT_KINDS, Field, Point, load_light
 from .occlusion import (
     OCC_KINDS, AllLearnedOcc, Direct, JointLearnedConstOcc,
-    LearnedConstantSoftLighting, LearnedLighting, LightingWIsect, Path,
+    LearnedConstantSoftLighting, LearnedLighting, LightingWIsect,
     load_occlusion,
 )
 
@@ -26,5 +26,5 @@ __all__ = [
     "LIGHT_KINDS", "Point", "Field", "load_light",
     "OCC_KINDS", "load_occlusion", "LightingWIsect", "LearnedLighting",
     "LearnedConstantSoftLighting", "AllLearnedOcc", "JointLearnedConstOcc",
-    "Direct", "Path",
+    "Direct",
 ]

@@ -124,38 +124,15 @@ class Direct(nn.Module):
     for i in range(L):
       ld = light_dir[..., i, :]
       sp = spectrum[..., i, :]
-      if callable(self.occ) and not isinstance(self.occ, nn.Module):
-        att = self.occ(x, ld, isect_fn)
-      else:
-        att = self.occ(x, ld, isect_fn)
+      att = self.occ(x, ld, isect_fn)
       bsdf = self.refl(x, view=view, normal=normal, light=ld, latent=latent)
       total = total + att * bsdf * sp
     return total
 
 
-class Path(nn.Module):
-  """One-bounce path integration: direct light plus a learned transfer
-  function gathering secondary illumination from sampled directions.
-  (The reference's path integrator was unfinished; this is the intended
-  single-bounce version, with `dir_samples` fixed secondary directions.)"""
-  refl: Any = None
-  occ: Any = None
-  dir_samples: int = 8
-
-  @nn.compact
-  def __call__(self, x, view, normal, light, isect_fn,
-               view_idx=None, latent=None, key=None):
-    direct = Direct(refl=self.refl, occ=self.occ, name="direct")(
-        x, view, normal, light, isect_fn, view_idx=view_idx, latent=latent)
-    transfer = SkipConnMLP(in_size=6, out=3, num_layers=3, hidden_size=64,
-                           name="transfer")
-    if key is None:
-      key = jax.random.PRNGKey(0)
-    dirs = jax.random.normal(key, (self.dir_samples, 3))
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    bounce = 0.0
-    for i in range(self.dir_samples):
-      d = jnp.broadcast_to(dirs[i], x.shape)
-      inp = jnp.concatenate([x, d], axis=-1)
-      bounce = bounce + jax.nn.softplus(transfer(inp))
-    return direct + bounce / self.dir_samples
+# The one-bounce "path" integrator lives where it is actually used:
+# `models/volsdf.py:VolSDF._one_bounce` (marched second surface, hemisphere
+# sampling, learned transfer). Select it with `integrator_kind="path"` on
+# VolSDF / `--integrator-kind path` on the CLI. The reference's standalone
+# Path class (src/renderers.py:205-237) was unfinished and uncalled; we do
+# not mirror a dead class here.

@@ -118,62 +118,101 @@ def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
                     rays, train=True, **kwargs)
 
 
+def _fused_common_ok(model, cfg, extra_kwargs):
+  """Config constraints shared by the static and dynamic fused gates."""
+  from .regularizers import REGULARIZERS
+  from ..ops.pallas.render import FUSED_SIGMOID_KINDS
+  return not (
+      model.sky_kind not in ("black", "white") or model.mip is not None
+      or model.latent_size != 0
+      or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
+      or model.density_noise != 0
+      or model.per_ray_jitter or model.lindisp
+      or jax.default_backend() == "cpu"
+      or extra_kwargs or cfg.train_camera or cfg.crop_size > 0
+      or cfg.batch_size % 64 != 0
+      or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)
+      or cfg.omit_bg)  # omit-bg's zeroed-loss gate lives in the oracle
+
+
 def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                     mesh):
-  """The differentiable fused Pallas kernel for the training step when
-  the config is the flagship single-chip path (PlainNeRF-cp, flat ray
-  batches, no lights/times/camera-training, no out-dict regularizers —
-  point-sampled regularizers still work, they evaluate separately).
-  Returns fn(params, rays, key) -> [N, 4] or None (XLA oracle)."""
+  """The differentiable fused Pallas kernel for the training step on the
+  flagship paths: static PlainNeRF-cp, or DynamicNeRF(plain-cp, direct
+  Δx) for the D-NeRF recipe — flat ray batches, no lights/camera-training,
+  no out-dict regularizers (point-sampled regularizers still work, they
+  evaluate separately). Returns fn(params, rays, times, key) -> [N, 4]
+  or None (XLA oracle)."""
   try:
-    from ..models import PlainNeRF
-    from .regularizers import REGULARIZERS
-    from ..ops.pallas.render import FUSED_SIGMOID_KINDS
-    if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
-        or model.sky_kind not in ("black", "white") or model.mip is not None
-        or model.refl_kind != "view" or model.intermediate_size != 32
-        or model.latent_size != 0
-        or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
-        or model.refl_space != "identity" or model.density_noise != 0
-        or model.per_ray_jitter or model.lindisp
-        or jax.default_backend() == "cpu"):
+    from ..models import DynamicNeRF, PlainNeRF
+    if (not _fused_common_ok(model, cfg, extra_kwargs)
+        or getattr(ds, "lights", None) is not None):
       return None
-    if (extra_kwargs or cfg.train_camera or cfg.crop_size > 0
-        or ds.times is not None
-        or getattr(ds, "lights", None) is not None
-        or cfg.batch_size % 64 != 0
-        or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)
-        or cfg.omit_bg):  # omit-bg's zeroed-loss gate lives in the
-      return None         # oracle branch only
-
-    from ..ops.pallas.render import (DEFAULT_BLOCK_RAYS,
-                                     fused_plain_cp_render_train,
-                                     fused_plain_cp_render_train_sharded,
-                                     _flatten_params)
-    if mesh is not None and (
-        mesh.size == 1
-        or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
-      return None
-    _flatten_params(params)  # raises if the param structure diverges
     from ..ops import rays as rays_ops
+    from ..ops.pallas.render import DEFAULT_BLOCK_RAYS
 
-    def fn(p, rays, key):
-      # shared stratified jitter, matching the oracle's train-time ts
-      ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
-                               perturb=1.0, key=key)[None]
-      if mesh is not None:
-        # multi-chip: shard rays over the data axis, run the kernel
-        # per-chip, psum the weight cotangents via shard_map's transpose
-        return fused_plain_cp_render_train_sharded(
-            p, rays, ts, mesh=mesh, steps=model.steps,
-            t_near=model.t_near, t_far=model.t_far,
-            sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
-      return fused_plain_cp_render_train(
-          p, rays, ts, steps=model.steps, t_near=model.t_near,
-          t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-          sky_kind=model.sky_kind)
+    if isinstance(model, PlainNeRF):
+      if (model.enc_kind != "cp" or model.refl_kind != "view"
+          or model.intermediate_size != 32
+          or model.refl_space != "identity" or ds.times is not None):
+        return None
+      from ..ops.pallas.render import (fused_plain_cp_render_train,
+                                       fused_plain_cp_render_train_sharded,
+                                       _flatten_params)
+      if mesh is not None and (
+          mesh.size == 1
+          or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+        return None
+      _flatten_params(params)  # raises if the param structure diverges
 
-    return fn
+      def fn(p, rays, t, key):
+        # shared stratified jitter, matching the oracle's train-time ts
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+        if mesh is not None:
+          # multi-chip: shard rays over the data axis, run the kernel
+          # per-chip, psum the weight cotangents via shard_map's transpose
+          return fused_plain_cp_render_train_sharded(
+              p, rays, ts, mesh=mesh, steps=model.steps,
+              t_near=model.t_near, t_far=model.t_far,
+              sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
+        return fused_plain_cp_render_train(
+            p, rays, ts, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind)
+
+      return fn
+
+    if isinstance(model, DynamicNeRF):
+      # D-NeRF flagship (reference src/nerf.py:1209-1319): direct Δx warp
+      # + rigidity gate over the canonical PlainNeRF-cp chain. The fused
+      # kernel hardcodes the default canonical architecture, so any
+      # canonical_kwargs beyond enc_kind="cp" fall back to the oracle.
+      ck = dict(model.canonical_kwargs or {})
+      allowed = {"enc_kind", "refl_kind", "steps", "t_near", "t_far",
+                 "sky_kind", "sigmoid_kind"}
+      if (model.canonical_kind != "plain" or model.spline_points != 0
+          or not model.with_rigidity or model.time_latent_size != 0
+          or ck.get("enc_kind", "cp") != "cp"
+          or ck.get("refl_kind", "view") != "view"
+          or any(k not in allowed for k in ck)
+          or ds.times is None or mesh is not None):
+        return None
+      from ..ops.pallas.render_dyn import (_flatten_params_dyn,
+                                           fused_dyn_cp_render_train)
+      _flatten_params_dyn(params)
+
+      def fn(p, rays, t, key):
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+        return fused_dyn_cp_render_train(
+            p, rays, t, ts, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind)
+
+      return fn
+
+    return None
   except Exception:  # noqa: BLE001 — any mismatch falls back to the oracle
     return None
 
@@ -230,7 +269,7 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
       smooth_opts = {"eps": cfg.smooth_eps, "eps_rng": cfg.smooth_eps_rng,
                      "ords": cfg.smooth_ords}
       if fused_train is not None:
-        pred = fused_train(model_params, rays, k2)[:, :3]
+        pred = fused_train(model_params, rays, t, k2)[:, :3]
         main = loss_fn(pred, pix)
         reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
                                  smooth_opts)
@@ -414,14 +453,31 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
 
 def _scale_fourier_freqs(params, rate: float):
   """--inc-fourier-freqs (reference runner.py:826-829): multiply every
-  Fourier-encoder frequency matrix (param leaves named 'B') by `rate`
-  each step, growing the representable detail over training."""
-  def scale(path, leaf):
-    last = path[-1]
-    name = getattr(last, "key", None)
-    return leaf * rate if name == "B" else leaf
+  FourierEncoder frequency matrix by `rate` each step, growing the
+  representable detail over training.
 
-  return jax.tree_util.tree_map_with_path(scale, params)
+  Matches on module structure, not bare leaf name: a 'B' leaf is scaled
+  only when it sits in an encoder scope ('enc' attribute or auto-named
+  FourierEncoder_*) with NO sibling 'scale' param — a
+  LearnedFourierEncoder ({B, scale}) grows via its trained scale instead,
+  and unrelated modules are free to name a leaf 'B'.
+  """
+  from collections.abc import Mapping
+
+  def walk(tree):
+    if not isinstance(tree, Mapping):
+      return tree
+    out = {}
+    for key, sub in tree.items():
+      if (isinstance(sub, Mapping) and "B" in sub and "scale" not in sub
+          and (key == "enc" or key.startswith("FourierEncoder"))):
+        out[key] = {k: (v * rate if k == "B" else walk(v))
+                    for k, v in sub.items()}
+      else:
+        out[key] = walk(sub)
+    return out
+
+  return walk(params)
 
 
 def _make_style_fn(cfg: TrainConfig):

@@ -486,6 +486,8 @@ def build_model(args, dynamic: bool):
   # only reflectance-bearing canonical models accept refl_kind
   canon_kwargs = ({"refl_kind": args.refl_kind}
                   if kind not in ("tiny", "mpi", "voxel") else {})
+  if kind == "plain":
+    canon_kwargs["enc_kind"] = args.enc_kind
   if args.dyn_model == "plain":
     dyn_kwargs.update(canonical_kind=kind, spline_points=args.spline,
                       canonical_kwargs=canon_kwargs,
@@ -638,63 +640,12 @@ def _slice_views(ds, n: int):
       lights=None if ds.lights is None else jax.tree.map(cut, ds.lights))
 
 
-def main():
-  args = arguments()
-  from nerf_atlas_tpu.data import load, sampler
-  from nerf_atlas_tpu.train import checkpoints, driver
 
-  t0 = time.time()
-  if args.bendy:
-    args.model = "bendy"
-  if args.torchjit:
-    print("[note]: --torchjit is a no-op — the XLA jit is always on")
-  if args.debug_nans:
-    import jax
-    jax.config.update("jax_debug_nans", True)
-  if args.data_parallel and args.mesh_devices == 1:
-    args.mesh_devices = 0     # re-enable the mesh
-  if not args.derive_kind and args.data_kind is None:
-    raise ValueError("--data-kind is required when --derive-kind is unset")
-  if args.timed_outdir:
-    args.outdir = f"{args.outdir}-{time.strftime('%Y-%m-%d-%H%M%S')}"
-  for vis in args.visualize:   # list form of the *-images flags
-    setattr(args, {"depth": "depth_images", "normals": "normals_images",
-                   "flow": "flow_images",
-                   "rigidity": "rigidity_images"}[vis], True)
-  if args.nosave:
-    args.save_freq = 0
-  os.makedirs(args.outdir, exist_ok=True)
 
-  load_kwargs = {}
-  if args.data_kind in ("synthetic", "synthetic-dyn", "synthetic-lit"):
-    load_kwargs["num_views"] = args.num_views
-  if args.data_kind == "dnerf" and args.time_gamma != 1.0:
-    load_kwargs["time_gamma"] = args.time_gamma
-  if args.data_kind == "nerv_point":
-    load_kwargs["light_intensity"] = args.light_intensity
-  if args.data_kind == "single_video":
-    load_kwargs.update(fov=args.static_vid_cam_angle_deg,
-                       start_sec=args.start_sec, end_sec=args.end_sec)
-  bundle = load(args.data, data_kind=args.data_kind, training=True,
-                size=args.size, **load_kwargs)
-  ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
-  ds = apply_light_kind(args, ds)
-  if args.train_imgs > 0:
-    ds = _slice_views(ds, args.train_imgs)
-  remaps = set_per_run(args, ds)
-  if args.cam_save_load and os.path.exists(args.cam_save_load):
-    from nerf_atlas_tpu.train.checkpoints import load_camera
-    ds = ds.replace(camera=load_camera(args.cam_save_load, ds.camera))
-    print(f"[camera] restored from {args.cam_save_load}")
-  dynamic = ds.times is not None
-  if args.neural_upsample:
-    return run_neural_upsample(args, ds)
-  model = build_model(args, dynamic)
-
-  extra_kwargs = None
-  if args.model == "pixel-single":
-    # conditioning image for the PixelNeRF path (uv derives from rays)
-    extra_kwargs = {"image": ds.pixels[0][..., :3]}
+def make_train_config(args):
+  """Resolve parsed flags into the immutable TrainConfig (the
+  flag→behavior contract tested in tests/test_flags_behavior.py)."""
+  from nerf_atlas_tpu.train import driver
 
   crop_size = args.crop_size
   if crop_size == 0 and (set(args.loss_fns) & {"ssim", "fft"}
@@ -706,7 +657,7 @@ def main():
     if args.alt_train == 0:
       args.alt_train = 2048   # the reference's run_len=4096 halves
 
-  cfg = driver.TrainConfig(
+  return driver.TrainConfig(
       steps=args.epochs, batch_size=args.batch_size,
       learning_rate=args.learning_rate, opt_kind=args.opt_kind,
       loss_kinds=tuple(args.loss_fns),
@@ -767,6 +718,74 @@ def main():
       smooth_eps_rng=args.smooth_eps_rng,
       smooth_ords=tuple(args.smooth_n_ord),
       volsdf_alternate=args.volsdf_alternate)
+
+
+def main(argv=None):
+  import jax
+  # persistent compile cache: Mosaic kernel compiles on the TPU run
+  # 5-30 min — never pay twice for the same config across CLI invocations
+  jax.config.update("jax_compilation_cache_dir",
+                    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.jax_cache")))
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+  args = arguments(argv)
+  from nerf_atlas_tpu.data import load, sampler
+  from nerf_atlas_tpu.train import checkpoints, driver
+
+  t0 = time.time()
+  if args.bendy:
+    args.model = "bendy"
+  if args.torchjit:
+    print("[note]: --torchjit is a no-op — the XLA jit is always on")
+  if args.debug_nans:
+    import jax
+    jax.config.update("jax_debug_nans", True)
+  if args.data_parallel and args.mesh_devices == 1:
+    args.mesh_devices = 0     # re-enable the mesh
+  if not args.derive_kind and args.data_kind is None:
+    raise ValueError("--data-kind is required when --derive-kind is unset")
+  if args.timed_outdir:
+    args.outdir = f"{args.outdir}-{time.strftime('%Y-%m-%d-%H%M%S')}"
+  for vis in args.visualize:   # list form of the *-images flags
+    setattr(args, {"depth": "depth_images", "normals": "normals_images",
+                   "flow": "flow_images",
+                   "rigidity": "rigidity_images"}[vis], True)
+  if args.nosave:
+    args.save_freq = 0
+  os.makedirs(args.outdir, exist_ok=True)
+
+  load_kwargs = {}
+  if args.data_kind in ("synthetic", "synthetic-dyn", "synthetic-lit"):
+    load_kwargs["num_views"] = args.num_views
+  if args.data_kind == "dnerf" and args.time_gamma != 1.0:
+    load_kwargs["time_gamma"] = args.time_gamma
+  if args.data_kind == "nerv_point":
+    load_kwargs["light_intensity"] = args.light_intensity
+  if args.data_kind == "single_video":
+    load_kwargs.update(fov=args.static_vid_cam_angle_deg,
+                       start_sec=args.start_sec, end_sec=args.end_sec)
+  bundle = load(args.data, data_kind=args.data_kind, training=True,
+                size=args.size, **load_kwargs)
+  ds = sampler.RayDataset.from_bundle(bundle, size=args.size)
+  ds = apply_light_kind(args, ds)
+  if args.train_imgs > 0:
+    ds = _slice_views(ds, args.train_imgs)
+  remaps = set_per_run(args, ds)
+  if args.cam_save_load and os.path.exists(args.cam_save_load):
+    from nerf_atlas_tpu.train.checkpoints import load_camera
+    ds = ds.replace(camera=load_camera(args.cam_save_load, ds.camera))
+    print(f"[camera] restored from {args.cam_save_load}")
+  dynamic = ds.times is not None
+  if args.neural_upsample:
+    return run_neural_upsample(args, ds)
+  model = build_model(args, dynamic)
+
+  extra_kwargs = None
+  if args.model == "pixel-single":
+    # conditioning image for the PixelNeRF path (uv derives from rays)
+    extra_kwargs = {"image": ds.pixels[0][..., :3]}
+
+  cfg = make_train_config(args)
 
   config_dict = {**vars(args), "argv": sys.argv, "name": args.name,
                  "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}

@@ -41,30 +41,47 @@ def _stub_torchvision():
   })
 
 
-def main(ref_path: str = "/root/reference", steps_timed: int = 30):
-  _stub_torchvision()
-  if not torch.cuda.is_available():
-    torch.nn.Module.cuda = lambda self, *a, **k: self  # ref's .cuda() bug
-  sys.path.insert(0, ref_path)
-  from src import nerf
+def _build_model(nerf, kind: str, device: str):
+  """The five canonical model families (BASELINE.json configs; makefile
+  recipes original:8-13, ae:380-384, volsdf:21-28, dnerf:105-114)."""
+  common = dict(steps=64, t_near=2.0, t_far=6.0)
+  if kind == "tiny":
+    return nerf.TinyNeRF(**common).to(device)
+  if kind == "plain":
+    return nerf.PlainNeRF(**common).to(device)
+  if kind == "ae":
+    return nerf.NeRFAE(**common).to(device)
+  if kind == "volsdf":
+    from src import march, refl as rrefl, sdf as rsdf
+    shape = rsdf.MLP()
+    refl_inst = rrefl.View(out_features=3,
+                           latent_size=shape.intermediate_size)
+    s = rsdf.SDF(shape, refl_inst, isect=march.bisect, t_near=2.0,
+                 t_far=6.0)
+    return nerf.VolSDF(s, **common).to(device)
+  if kind == "dnerf":
+    return nerf.DynamicNeRF(canonical=nerf.PlainNeRF(**common)).to(device)
+  raise ValueError(kind)
 
-  device = "cuda" if torch.cuda.is_available() else "cpu"
-  model = nerf.PlainNeRF(steps=64, t_near=2.0, t_far=6.0).to(device)
+
+def _time_config(nerf, kind: str, device: str, steps_timed: int):
+  model = _build_model(nerf, kind, device)
   opt = torch.optim.Adam(model.parameters(), lr=5e-4)
-
   B, H, W = 4, 16, 16                      # 1024 rays/step (makefile:8-13)
   g = torch.Generator().manual_seed(0)
   rays = torch.randn(B, H, W, 6, generator=g)
   rays[..., 3:] = torch.nn.functional.normalize(rays[..., 3:], dim=-1)
   rays = rays.to(device)
   target = torch.rand(B, H, W, 3, generator=g).to(device)
+  times = torch.rand(B, generator=g).to(device)
+  inp = (rays, times) if kind == "dnerf" else rays
 
   model.train()
 
   def step():
     opt.zero_grad()
-    out = model(rays)
-    loss = ((out - target) ** 2).mean()
+    out = model(inp)
+    loss = ((out[..., :3] - target) ** 2).mean()
     loss.backward()
     opt.step()
     return float(loss)
@@ -79,13 +96,33 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30):
   if device == "cuda":
     torch.cuda.synchronize()
   dt = time.perf_counter() - t0
-  rays_per_sec = steps_timed * B * H * W / dt
+  return steps_timed * B * H * W / dt
 
+
+def main(ref_path: str = "/root/reference", steps_timed: int = 30):
+  _stub_torchvision()
+  if not torch.cuda.is_available():
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # ref's .cuda() bug
+  sys.path.insert(0, ref_path)
+  from src import nerf
+
+  device = "cuda" if torch.cuda.is_available() else "cpu"
+  per_config = {}
+  for kind in ("tiny", "plain", "ae", "volsdf", "dnerf"):
+    try:
+      per_config[kind] = round(_time_config(nerf, kind, device,
+                                            steps_timed), 2)
+    except Exception as e:  # noqa: BLE001 — record, keep measuring others
+      per_config[kind] = f"error: {type(e).__name__}: {e}"
+    print(f"# reference {kind}: {per_config[kind]} rays/s", file=sys.stderr)
+
+  rays_per_sec = per_config.get("plain")
   result = {
-      "reference_train_rays_per_sec": round(rays_per_sec, 2),
+      "reference_train_rays_per_sec": rays_per_sec,
+      "per_config_rays_per_sec": per_config,
       "device": device,
       "torch_threads": torch.get_num_threads(),
-      "config": "PlainNeRF (hash enc) 64 steps, 1024 rays/step, Adam",
+      "config": "64 steps, 1024 rays/step, Adam (per-config table)",
       "timed_steps": steps_timed,
   }
   print(json.dumps(result))

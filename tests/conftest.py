@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Hosted-TPU images inject a sitecustomize that imports jax at interpreter
+# start, so the env var above can be read too late — force the platform at
+# the config level as well. Without this the ENTIRE suite silently runs on
+# the remote TPU through the tunnel (~10x slower per test, serializes with
+# benchmarks) instead of the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: XLA CPU compiles dominate test wall-clock on
 # small hosts; cache them across pytest runs

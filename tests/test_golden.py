@@ -7,6 +7,9 @@ import optax
 
 from nerf_atlas_tpu import models
 from nerf_atlas_tpu.data import loaders, sampler, synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # 400-600-step convergence fits
 
 
 def test_plain_cp_fits_synthetic_scene():

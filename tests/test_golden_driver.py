@@ -1,0 +1,58 @@
+"""Driver-level golden configs with pinned PSNR floors (VERDICT r2 #6).
+
+Each test runs `runner.main` end-to-end (loader → model build →
+set_per_run → jitted train → tiled test eval → results.txt) on a
+procedural scene and asserts a PSNR floor pinned near the measured
+round-3 values, so a quality regression in any of these model families
+fails loudly. Floors sit ~2 dB under the measured medians to absorb
+seed/backend jitter while still catching halvings.
+
+Configs mirror the reference's canonical recipes (makefile: ae:380-384,
+volsdf:21-28, dnerf:105-114, nerv relighting via --light-kind dataset).
+"""
+import os
+
+import pytest
+
+import runner
+
+pytestmark = pytest.mark.slow  # full driver runs, minutes each on 1 core
+
+
+def _run(tmp_path, extra, psnr_floor, views=5, size=24, epochs=250):
+  argv = [
+      "-d", "synth", "--size", str(size), "--num-views", str(views),
+      "--epochs", str(epochs), "--near", "2", "--far", "6",
+      "--batch-size", "512", "--steps", "24", "--loss-fns", "l2",
+      "--outdir", str(tmp_path), "--nosave", "--notest", "--seed", "0",
+  ] + extra
+  results = runner.main(argv)
+  psnr = results["train"]["psnr_mean"]
+  assert psnr > psnr_floor, (psnr, psnr_floor)
+  assert os.path.exists(os.path.join(tmp_path, "train", "results.txt"))
+  return psnr
+
+
+def test_golden_driver_ae(tmp_path):
+  _run(tmp_path, ["--data-kind", "synthetic", "--model", "ae",
+                  "-lr", "1e-3"], psnr_floor=16.0)
+
+
+def test_golden_driver_volsdf(tmp_path):
+  _run(tmp_path, ["--data-kind", "synthetic", "--model", "volsdf",
+                  "--sdf-kind", "mlp", "-lr", "1e-3",
+                  "--sigmoid-kind", "upshifted"], psnr_floor=14.0)
+
+
+def test_golden_driver_dnerf_spline(tmp_path):
+  _run(tmp_path, ["--data-kind", "synthetic-dyn", "--model", "plain",
+                  "--enc-kind", "posenc", "--dyn-model", "plain",
+                  "--spline", "4", "-lr", "1e-3"], psnr_floor=15.0)
+
+
+def test_golden_driver_relit(tmp_path):
+  _run(tmp_path, ["--data-kind", "synthetic-lit", "--model", "volsdf",
+                  "--sdf-kind", "mlp", "--light-kind", "dataset",
+                  "--occ-kind", "learned-const", "--integrator-kind",
+                  "direct", "--refl-kind", "diffuse", "-lr", "1e-3"],
+       psnr_floor=12.0)

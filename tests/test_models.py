@@ -100,6 +100,7 @@ def test_volsdf_with_lights_direct():
   assert jnp.isfinite(out["rgb"]).all()
 
 
+@pytest.mark.slow
 def test_tiny_nerf_fits_synthetic_scene():
   """Golden convergence: 300 steps of TinyNeRF on the procedural spheres
   raises PSNR on held-out pixels by a clear margin (SURVEY §4 strategy)."""

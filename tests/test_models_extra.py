@@ -118,6 +118,7 @@ def test_pixel_single_forward():
   assert out["rgb"].shape == (4, 3)
 
 
+@pytest.mark.slow
 def test_dynamic_voxel_fits_moving_scene():
   """Golden dynamic convergence: DynamicNeRF (direct warp) improves on
   the orbiting-sphere scene."""

@@ -128,3 +128,26 @@ def test_style_loss_zero_for_same_image():
   params = sl.init(jax.random.PRNGKey(1), img, img)
   loss = sl.apply(params, img, img)
   assert float(loss) < 1e-10
+
+
+def test_update_operator_smoke():
+  """RAFT-style conv-GRU (reference src/neural_blocks.py:440-482 —
+  imported there but unused; kept as a library block here, so it gets a
+  shape/finite smoke check)."""
+  op = nnb.UpdateOperator(hidden_size=8, out_features=2, iters=2)
+  x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+  params = op.init(jax.random.PRNGKey(1), x)
+  out = op.apply(params, x)
+  assert out.shape == (1, 8, 8, 2)
+  assert np.isfinite(np.asarray(out)).all()
+
+
+def test_discriminator_smoke():
+  """DCGAN-style discriminator (reference src/neural_blocks.py:522-563,
+  unfinished there; working block here)."""
+  d = nnb.Discriminator(features=(8, 16))
+  img = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+  params = d.init(jax.random.PRNGKey(1), img)
+  out = d.apply(params, img)
+  assert out.shape == (2, 1)
+  assert np.isfinite(np.asarray(out)).all()

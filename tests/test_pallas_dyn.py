@@ -1,0 +1,132 @@
+"""Fused D-NeRF Pallas kernel vs the pure-JAX oracle (interpret mode):
+forward parity AND gradient parity — including gradients flowing THROUGH
+the warp/rigidity MLPs via the canonical chain's position cotangent."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_atlas_tpu import models
+from nerf_atlas_tpu.ops.pallas.render_dyn import (
+    fused_dyn_cp_render, fused_dyn_cp_render_train)
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas
+
+
+def _setup(n, steps, seed=0):
+  model = models.DynamicNeRF(
+      canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
+      spline_points=0, with_rigidity=True, steps=steps, t_near=2.0,
+      t_far=6.0)
+  key = jax.random.PRNGKey(seed)
+  k1, k2 = jax.random.split(key)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(k1, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  times = jax.random.uniform(k2, (n,))
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays,
+                      times=times, train=True)
+  # zero_last leaves the warp at Δx=0 — give it real weights so the warp
+  # path (and its gradient) is actually exercised
+  wl = params["params"]["warp"]["layer_out"]
+  params["params"]["warp"]["layer_out"] = {
+      "kernel": 0.03 * jax.random.normal(jax.random.PRNGKey(3),
+                                         wl["kernel"].shape),
+      "bias": 0.01 * jax.random.normal(jax.random.PRNGKey(4),
+                                       wl["bias"].shape),
+  }
+  return model, params, rays, times
+
+
+def test_fused_dyn_render_matches_oracle():
+  model, params, rays, times = _setup(64, 16)
+  oracle = model.apply(params, rays, times=times)
+  fused = fused_dyn_cp_render(params, rays, times, steps=16, t_near=2.0,
+                              t_far=6.0, block_rays=32, interpret=True)
+  assert float(jnp.abs(oracle["dp"]).max()) > 1e-4  # warp is active
+  np.testing.assert_allclose(np.asarray(fused[:, :3]),
+                             np.asarray(oracle["rgb"]), atol=2e-2)
+  acc = oracle["weights"].sum(-1)
+  np.testing.assert_allclose(np.asarray(fused[:, 3]), np.asarray(acc),
+                             atol=2e-2)
+
+
+def test_fused_dyn_grad_matches_oracle():
+  model, params, rays, times = _setup(32, 16, seed=3)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+
+  def loss_fused(p):
+    out = fused_dyn_cp_render_train(p, rays, times, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True)
+    return (jnp.mean((out[:, :3] - target) ** 2)
+            + jnp.mean((out[:, 3] - 0.7) ** 2))
+
+  def loss_oracle(p):
+    out = model.apply(p, rays, times=times)
+    acc = out["weights"].sum(-1)
+    return (jnp.mean((out["rgb"] - target) ** 2)
+            + jnp.mean((acc - 0.7) ** 2))
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  # same criteria as the static kernel's grad test: global relative
+  # Frobenius error small, per-tensor direction right. The warp Fourier
+  # basis is stop_gradient in the oracle -> both sides zero (skipped).
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  num, den = 0.0, 0.0
+  warp_checked = 0
+  for path, g_fused in flat_f:
+    g_orc = flat_o[path]
+    gf_n = np.asarray(g_fused, np.float64)
+    go_n = np.asarray(g_orc, np.float64)
+    num += np.sum((gf_n - go_n) ** 2)
+    den += np.sum(go_n ** 2)
+    if np.linalg.norm(go_n) < 1e-12:
+      assert np.linalg.norm(gf_n) < 1e-6, jax.tree_util.keystr(path)
+      continue
+    cos = (gf_n * go_n).sum() / max(
+        np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
+    assert cos > 0.97, (jax.tree_util.keystr(path), cos)
+    p_str = jax.tree_util.keystr(path)
+    if "warp" in p_str or "rigidity" in p_str:
+      warp_checked += 1
+  assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
+  # the dynamic path's whole point: warp + rigidity weights get real,
+  # correctly-directed gradients through the fused kernel
+  assert warp_checked > 10, warp_checked
+
+
+def test_fused_dyn_sharded_grad_matches_single():
+  """shard_map multi-chip fused D-NeRF path: psum'ed weight cotangents
+  match the single-shard kernel (8-device virtual CPU mesh, interpret)."""
+  from nerf_atlas_tpu.ops.pallas.render_dyn import (
+      fused_dyn_cp_render_train_sharded)
+  from nerf_atlas_tpu.parallel import make_mesh
+  mesh = make_mesh(8)
+  model, params, rays, times = _setup(128, 8, seed=11)  # 8 x 16-ray blocks
+  target = jax.random.uniform(jax.random.PRNGKey(5), (128, 3))
+  kw = dict(steps=8, t_near=2.0, t_far=6.0, block_rays=16,
+            bwd_block_rays=16, interpret=True)
+
+  def loss(p, sharded):
+    out = (fused_dyn_cp_render_train_sharded(p, rays, times, mesh=mesh,
+                                             **kw)
+           if sharded else fused_dyn_cp_render_train(p, rays, times, **kw))
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  ls, gs = jax.value_and_grad(loss)(params, True)
+  l1, g1 = jax.value_and_grad(loss)(params, False)
+  np.testing.assert_allclose(float(ls), float(l1), rtol=1e-3)
+  flat_s = jax.tree_util.tree_leaves_with_path(gs)
+  flat_1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+  for path, g_shard in flat_s:
+    a = np.asarray(g_shard, np.float64)
+    b = np.asarray(flat_1[path], np.float64)
+    denom = max(np.linalg.norm(b), 1e-12)
+    assert np.linalg.norm(a - b) / denom < 1e-2, (
+        jax.tree_util.keystr(path), np.linalg.norm(a - b) / denom)

@@ -7,6 +7,9 @@ import numpy as np
 from nerf_atlas_tpu import models
 from nerf_atlas_tpu.ops.pallas import fused_plain_cp_render
 from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_render_train
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas kernels
 
 
 def test_fused_render_matches_oracle():

@@ -127,6 +127,7 @@ def test_occ_attenuation_method_and_regs():
     assert float(val) >= 0, name
 
 
+@pytest.mark.slow
 def test_relight_training_beats_no_shadow_ablation():
   """The golden relighting check: with moving lights + shadows in the
   data, a shadow-capable model (occ learned, direct) must out-fit an
