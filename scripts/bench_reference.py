@@ -43,7 +43,33 @@ def _stub_torchvision():
 
 def _build_model(nerf, kind: str, device: str):
   """The five canonical model families (BASELINE.json configs; makefile
-  recipes original:8-13, ae:380-384, volsdf:21-28, dnerf:105-114)."""
+  recipes original:8-13, ae:380-384, volsdf:21-28, dnerf:105-114).
+
+  Three of them cannot run unmodified at the reference's HEAD — each
+  workaround below measures the INTENDED behavior and favors the
+  reference (recorded in BASELINE.md):
+    * TinyNeRF: CommonNeRF.set_sigmoid touches self.refl, which a
+      refl-less TinyNeRF never has (src/nerf.py:216-220) -> tolerate.
+    * VolSDF.__init__ reads `with_transmission` where the parameter is
+      named `w_transmission` (src/nerf.py:874 vs :898) — NameError on
+      every construction -> inject the module global it looks up.
+    * DynamicNeRF's direct-Δx path reads self.dp before assignment
+      (src/nerf.py:1265) -> use the spline path (the makefile's dnerf
+      recipe trains --spline 6 anyway, makefile:105-114).
+  """
+  from src import utils as rutils
+  if not hasattr(nerf.CommonNeRF, "_orig_set_sigmoid"):
+    nerf.CommonNeRF._orig_set_sigmoid = nerf.CommonNeRF.set_sigmoid
+
+    def _safe_set_sigmoid(self, kind="thin"):
+      try:
+        nerf.CommonNeRF._orig_set_sigmoid(self, kind)
+      except AttributeError:   # refl-less models (TinyNeRF)
+        self.feat_act = rutils.load_sigmoid(kind)
+
+    nerf.CommonNeRF.set_sigmoid = _safe_set_sigmoid
+  nerf.with_transmission = False   # VolSDF ctor NameError (see above)
+
   common = dict(steps=64, t_near=2.0, t_far=6.0)
   if kind == "tiny":
     return nerf.TinyNeRF(**common).to(device)
@@ -60,7 +86,8 @@ def _build_model(nerf, kind: str, device: str):
                  t_far=6.0)
     return nerf.VolSDF(s, **common).to(device)
   if kind == "dnerf":
-    return nerf.DynamicNeRF(canonical=nerf.PlainNeRF(**common)).to(device)
+    return nerf.DynamicNeRF(canonical=nerf.PlainNeRF(**common),
+                            spline=6).to(device)
   raise ValueError(kind)
 
 
