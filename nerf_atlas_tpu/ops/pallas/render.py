@@ -25,7 +25,14 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, Sequence
+
+# MFU ablation probes (BENCH_NOTES "where do the non-MXU cycles go"):
+# RENDER_KERNEL_PROBE=nohat replaces the CP hat-basis stream with a
+# constant; =nosin replaces the siren activation with leaky-relu. Both
+# produce WRONG numerics — perf measurement only.
+_PROBE = os.environ.get("RENDER_KERNEL_PROBE", "")
 
 import jax
 import jax.numpy as jnp
@@ -177,13 +184,23 @@ def _reduce_pi(y):
 
 
 def _mlp_fwd(init_feat, wbs, act, n_layers, stash=None):
+  """Skip-concat layers are computed as SPLIT matmuls: the [P, H+F]
+  concat never materializes — layer i's weight splits into its hidden
+  rows and init-feature rows, h·W_h + act(f)·W_f. Identical math (the
+  activation distributes elementwise over the concat), but both dots are
+  tile-aligned and act(init_feat) is computed once instead of per skip."""
+  f_act = act(init_feat)
   h = _dot(init_feat, wbs[0][0]) + wbs[0][1][0]
   if stash is not None:
     stash.append(h.astype(jnp.bfloat16))
+  hidden = wbs[0][0].shape[1]
   for i in range(n_layers):
+    w = wbs[i + 1][0]
     if _skip_at(i, n_layers):
-      h = jnp.concatenate([h, init_feat.astype(h.dtype)], axis=-1)
-    h = _dot(act(h), wbs[i + 1][0]) + wbs[i + 1][1][0]
+      h = (_dot(act(h), w[:hidden]) + _dot(f_act, w[hidden:])
+           + wbs[i + 1][1][0])
+    else:
+      h = _dot(act(h), w) + wbs[i + 1][1][0]
     if stash is not None:
       stash.append(h.astype(jnp.bfloat16))
   return _dot(act(h), wbs[n_layers + 1][0]) + wbs[n_layers + 1][1][0]
@@ -193,31 +210,33 @@ def _mlp_bwd(d_out, stash, init_feat, wbs, act, act_grad, n_layers, hidden):
   """Hand-chained VJP of `_mlp_fwd` from the bf16 pre-activation stash.
 
   Returns (d_init_feat [P, F] f32, grads list [(dW, db)] in wbs order).
-  `act_grad` maps a pre-activation to d act/d v in f32.
+  `act_grad` maps a pre-activation to d act/d v in f32. Skip layers use
+  the same split-weight form as the forward (no [P, H+F] concats); their
+  weight grads are rebuilt as [H+F, O] row-concats.
   """
   P, F = init_feat.shape
   grads = [None] * (n_layers + 2)
-
-  def u(i):
-    h = stash[i]
-    if _skip_at(i, n_layers):
-      return jnp.concatenate([h, init_feat.astype(h.dtype)], axis=-1)
-    return h
+  f_act = act(init_feat)
+  f_grad = None    # act'(init_feat), lazily built for skip layers
 
   grads[n_layers + 1] = (_dot_t(act(stash[n_layers]), d_out),
                          jnp.sum(d_out, axis=0, keepdims=True))
   dh = _dot_nt(d_out, wbs[n_layers + 1][0]) * act_grad(stash[n_layers])
   d_init = jnp.zeros((P, F), jnp.float32)
   for i in range(n_layers - 1, -1, -1):
-    u_i = u(i)
-    grads[i + 1] = (_dot_t(act(u_i), dh),
-                    jnp.sum(dh, axis=0, keepdims=True))
-    du = _dot_nt(dh, wbs[i + 1][0]) * act_grad(u_i)
+    w = wbs[i + 1][0]
+    db = jnp.sum(dh, axis=0, keepdims=True)
     if _skip_at(i, n_layers):
-      dh = du[:, :hidden]
-      d_init = d_init + du[:, hidden:]
+      x_act = act(stash[i])
+      grads[i + 1] = (jnp.concatenate(
+          [_dot_t(x_act, dh), _dot_t(f_act, dh)], axis=0), db)
+      if f_grad is None:
+        f_grad = act_grad(init_feat)
+      d_init = d_init + _dot_nt(dh, w[hidden:]) * f_grad
+      dh = _dot_nt(dh, w[:hidden]) * act_grad(stash[i])
     else:
-      dh = du
+      grads[i + 1] = (_dot_t(act(stash[i]), dh), db)
+      dh = _dot_nt(dh, w) * act_grad(stash[i])
   grads[0] = (_dot_t(init_feat, dh), jnp.sum(dh, axis=0, keepdims=True))
   d_init = d_init + _dot_nt(dh, wbs[0][0])
   return d_init, grads
@@ -234,6 +253,8 @@ def _leaky_grad(v):
 
 
 def _sin30_act(v):
+  if _PROBE == "nosin":   # ablation probe: numerics-invalid, perf only
+    return _leaky_act(v)
   return _sin_approx(30.0 * v.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
@@ -252,8 +273,11 @@ def _cp_fwd(pts, pw):
   c_cat, s_cat = _hat_consts()
   w_cats, f_axes = [], []
   for axis in range(3):
-    w = jnp.maximum(
-        1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
+    if _PROBE == "nohat":   # ablation probe: numerics-invalid, perf only
+      w = xn[:, axis:axis + 1] * jnp.ones((1, CP_R_TOTAL), jnp.float32)
+    else:
+      w = jnp.maximum(
+          1.0 - s_cat * jnp.abs(xn[:, axis:axis + 1] - c_cat), 0.0)
     w_cats.append(w.astype(jnp.bfloat16))
     f_axes.append(_dot(w.astype(jnp.bfloat16), pw[axis]))
   enc = (f_axes[0] * f_axes[1] * f_axes[2]).astype(jnp.bfloat16)
