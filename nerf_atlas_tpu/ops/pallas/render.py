@@ -58,10 +58,13 @@ def _skip_at(i: int, num_layers: int, skip: int = SKIP) -> bool:
   gains the init features when i % skip == 0, except the last layer."""
   return i % skip == 0 and i != num_layers - 1
 
-# measured on v5e (800x800 frame, 64 steps): 64 -> 516.8k rays/s,
-# 128 -> 536.4k, 256 -> 547.0k but a ~30-minute Mosaic compile; 128 is
-# the sweet spot
+# measured on v5e (800x800 frame, 64 steps, round-3 wiring):
+# 128 -> 1.250M rays/s, 256 -> 1.326M (+6%). 256 is the eval default
+# (the remote+persistent compile cache absorbed its once-painful build);
+# the train path stays at 128 so any batch that is a multiple of 128
+# still hits the fused kernel.
 DEFAULT_BLOCK_RAYS = 128
+RENDER_BLOCK_RAYS = 256
 
 
 def _dot(a, b):
@@ -544,7 +547,7 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
                                              "sigmoid_kind", "sky_kind"))
 def fused_plain_cp_render(params, rays, *, steps: int = 64,
                           t_near: float = 2.0, t_far: float = 6.0,
-                          block_rays: int = DEFAULT_BLOCK_RAYS,
+                          block_rays: int = RENDER_BLOCK_RAYS,
                           interpret: bool = False,
                           sigmoid_kind: str = "thin",
                           sky_kind: str = "black"):
