@@ -6,6 +6,8 @@ Capability parity: /root/reference/src/loaders.py —
   dnerf      :103-150 D-NeRF JSON with per-frame times (+ Gibson quirks)
   dtu        :152-195 DTU scans (cameras.npz projection matrices)
   nerv_point :197-250 NeRV EXR images + point lights
+  shiny      :254-277 NeX LLFF layout (finished here; the reference's
+                      raises mid-way)
   single_video :279-298, single_image :300-304
 plus our `synthetic` procedural scenes (no-download golden data).
 
@@ -216,6 +218,54 @@ def nerv_point(path: str, training: bool = True, size: int = 200,
                        {"positions": lights, "intensity": light_intensity})
 
 
+def shiny(path: str, training: bool = True, size: int = 256,
+          test_every: int = 8):
+  """NeX "shiny" dataset (LLFF layout): poses_bounds.npy (+ optional
+  hwf_cxcy.npy intrinsics) + images/.
+
+  The reference's loader (src/loaders.py:254-277) loads the arrays then
+  raises ("TODO get camera from poses, bds"); this finishes the job:
+  LLFF pose columns [down, right, back] -> NeRF [right, up, back],
+  translations rescaled so the near bound sits at ~1 (the standard LLFF
+  1/(0.75*near) normalization), focal rescaled to the resized square
+  image. Every `test_every`-th view is the held-out split (NeX protocol).
+  """
+  poses_arr = np.load(os.path.join(path, "poses_bounds.npy"))
+  hwf_path = os.path.join(path, "hwf_cxcy.npy")
+  if os.path.exists(hwf_path):
+    # shiny extension: explicit intrinsics, poses are bare [N, 3, 4]
+    h, w, fx, fy, _cx, _cy = np.load(hwf_path).astype(np.float64)
+    assert abs(fx - fy) < 1e-3 * max(fx, fy), (fx, fy)
+    poses = poses_arr[:, :-2].reshape(-1, 3, 4)
+  else:
+    poses = poses_arr[:, :-2].reshape(-1, 3, 5)
+    h, w, fx = poses[0, :, 4]
+    poses = poses[:, :, :4]
+  bds = poses_arr[:, -2:]                        # per-view (near, far)
+  poses = np.concatenate(
+      [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:4]], -1)
+  # scale the scene so near ≈ 1.33 (LLFF convention: sc = 1/(0.75*near))
+  sc = 1.0 / (0.75 * max(float(bds.min()), 1e-6))
+  poses = poses.copy()
+  poses[:, :, 3] *= sc
+
+  img_dir = os.path.join(path, "images")
+  names = sorted(f for f in os.listdir(img_dir)
+                 if f.lower().endswith((".jpg", ".jpeg", ".png")))
+  assert len(names) == poses.shape[0], (len(names), poses.shape[0])
+  keep = [i for i in range(len(names))
+          if (i % test_every == 0) != training] or list(range(len(names)))
+  imgs = np.stack([_resize(_imread(os.path.join(img_dir, names[i])), size)
+                   [..., :3] for i in keep])
+  c2w = np.tile(np.eye(4, dtype=np.float32), (len(keep), 1, 1))
+  c2w[:, :3, :4] = poses[keep].astype(np.float32)
+  import jax.numpy as jnp
+  camera = cam_lib.NeRFCamera(
+      cam_to_world=jnp.asarray(c2w),
+      focal=jnp.asarray(fx * size / w, jnp.float32))
+  return DatasetBundle(imgs, camera, None)
+
+
 def single_video(path: str, training: bool = True, size: int = 256,
                  fov: float = 60.0, max_frames: int = 200,
                  start_sec: float = 0.0, end_sec: float = None):
@@ -262,6 +312,7 @@ LOADER_KINDS = {
     "dnerf": dnerf,
     "dtu": dtu,
     "nerv_point": nerv_point,
+    "shiny": shiny,
     "single_video": single_video,
     "pixel-single": single_image,
     "synthetic": synthetic_spheres,
@@ -280,6 +331,8 @@ def kind_from_path(path: str) -> str:
   if os.path.isdir(path):
     if os.path.exists(os.path.join(path, "cameras.npz")):
       return "dtu"
+    if os.path.exists(os.path.join(path, "poses_bounds.npy")):
+      return "shiny"
     for name in ("transforms_train.json", "transforms.json"):
       p = os.path.join(path, name)
       if os.path.exists(p):

@@ -160,16 +160,36 @@ class NeRFAE(NeRFBase):
 
 class CoarseFineNeRF(NeRFBase):
   """Hierarchical NeRF: a coarse uniform pass drives inverse-CDF
-  importance sampling for the fine pass. Both images are returned; the
-  training loss sums both (the intended behavior of the reference's
-  unfinished version)."""
+  importance sampling for the fine pass, with ONE shared field queried by
+  both. Both images are returned; the training loss sums both (the
+  intended behavior of the reference's unfinished version).
+
+  enc_kind mirrors PlainNeRF ("hash" default for checkpoint continuity;
+  "cp"/"posenc" available); with mip set, IPE features replace the
+  encoder — `--model coarse_fine --mip cone` is the canonical "PlainNeRF
+  with MipNeRF IPE + hierarchical fine sampling" recipe (BASELINE.json
+  config #2), and the fused Pallas path covers it (ops/pallas/render.py
+  fused_coarse_fine_train)."""
   refl_kind: str = "view"
   fine_steps: int = 64
+  enc_kind: str = "hash"
 
   def setup(self):
+    if self.mip is not None:
+      enc = None
+    elif self.enc_kind == "hash":
+      enc = HashEncoder()
+    elif self.enc_kind == "cp":
+      from ..nn import CPEncoder
+      enc = CPEncoder(dtype=self.dtype)
+    elif self.enc_kind == "posenc":
+      enc = PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=10)
+    else:
+      raise NotImplementedError(f"unknown enc kind {self.enc_kind}")
     self.first = SkipConnMLP(
-        in_size=3, out=1 + self.intermediate_size,
-        latent_size=self.latent_size, enc=HashEncoder(),
+        in_size=3 if self.mip is None else 96,
+        out=1 + self.intermediate_size,
+        latent_size=self.latent_size, enc=enc,
         num_layers=5, hidden_size=256, dtype=self.dtype,
         name="density_mlp")
     self.refl = load_refl(
@@ -177,8 +197,10 @@ class CoarseFineNeRF(NeRFBase):
         latent_size=self.intermediate_size + self.latent_size,
         act=self.sigmoid_kind)
 
-  def query(self, pts, view=None, latent=None, train: bool = False):
-    out = self.first(pts, latent)
+  def query(self, pts, view=None, latent=None, train: bool = False,
+            mip_feats=None):
+    x = pts if mip_feats is None else mip_feats
+    out = self.first(x, latent)
     density = self.add_density_noise(out[..., 0], train)
     lat = (out[..., 1:] if latent is None
            else jnp.concatenate([out[..., 1:], latent], -1))
@@ -189,7 +211,9 @@ class CoarseFineNeRF(NeRFBase):
     pts, ts, r_o, r_d = self.sample_points(rays, train)
     lat = broadcast_latent(latents, pts.shape, self.latent_size)
     view = view_per_sample(r_d, self.steps)
-    density, rgb = self.query(pts, view=view, latent=lat, train=train)
+    mip_feats = self.mip_encode(r_o, r_d, ts)
+    density, rgb = self.query(pts, view=view, latent=lat, train=train,
+                              mip_feats=mip_feats)
     coarse = self.finish(density, rgb, ts, r_d, train)
 
     # importance-sample fine ts from coarse weights (stop-grad: sample
@@ -204,8 +228,9 @@ class CoarseFineNeRF(NeRFBase):
     T_all = all_ts.shape[-1]
     view_f = view_per_sample(r_d, T_all)
     lat_f = broadcast_latent(latents, pts_f.shape, self.latent_size)
+    mip_f = self.mip_encode(r_o, r_d, all_ts)
     density_f, rgb_f = self.query(pts_f, view=view_f, latent=lat_f,
-                                  train=train)
+                                  train=train, mip_feats=mip_f)
     fine = self.finish(density_f, rgb_f, all_ts, r_d, train)
     fine["coarse_rgb"] = coarse["rgb"]
     fine["coarse_weights"] = coarse["weights"]

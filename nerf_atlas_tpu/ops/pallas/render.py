@@ -81,6 +81,12 @@ def _leaky_relu(x):
 
 CP_R_TOTAL = sum(CP_RESOLUTIONS)                 # 240
 
+# MipNeRF IPE constants (must match models.PlainNeRF(mip=...): ConicGaussian
+# min_deg 0 / max_deg 16 and NeRFBase.mip_encode's fixed 1e-3 footprint)
+MIP_DEGS = 16
+MIP_DIM = 2 * 3 * MIP_DEGS                       # 96
+MIP_RAD = 1e-3
+
 
 def _pack_lines(line_ws, dtype=jnp.bfloat16):
   """4× [3, R, K] per-level CP lines -> [3, 240, 32] block-diagonal.
@@ -313,6 +319,78 @@ def _cp_bwd(denc, cp_stash, pw, want_dpts: bool = False):
   return dls, d_pts
 
 
+# ---------------------------------------------------------------------------
+# In-kernel MipNeRF IPE (ops/mip.py semantics, closed forms on the VPU).
+# The feature stream replaces the CP encoder for `mip` configs: per-sample
+# conic/cylinder Gaussian -> E[sin] at 2^0..2^15 scales -> [P, 96] bf16.
+# No learnable parameters, so the backward kernel only recomputes it.
+# ---------------------------------------------------------------------------
+
+
+def _ipe_scale_mat():
+  """S [3, 48] with S[c, k] = 2^(k//3)·[k%3 == c]: `mean @ S` lays lanes
+  out scale-major / axis-minor, matching ops.mip.integrated_pos_enc_diag's
+  reshape. Built from iota in-kernel (no captured constants)."""
+  row = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * MIP_DEGS), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * MIP_DEGS), 1)
+  sel = (col % 3 == row).astype(jnp.float32)
+  return sel * jnp.exp2((col // 3).astype(jnp.float32))
+
+
+def _dot_f32(a, b):
+  return jax.lax.dot_general(
+      a.astype(jnp.float32), b.astype(jnp.float32),
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+
+def _ipe_fwd(r_o, r_d, ts_b, kind, B, T):
+  """IPE features for every sample of the block: [P, 96] bf16.
+
+  r_o/r_d [B, 3], ts_b [B, T] sample positions. Segment bounds follow
+  ops.mip.mip_segments (tail reuses the last finite width); Gaussian fits
+  follow conical_frustum_to_gaussian / cylinder_to_gaussian."""
+  P = B * T
+  last_dt = jnp.maximum(ts_b[:, T - 1:T] - ts_b[:, T - 2:T - 1], 1e-5)
+  t0 = ts_b
+  t1 = jnp.concatenate([ts_b[:, 1:], ts_b[:, T - 1:T] + last_dt], axis=-1)
+  mu = (t0 + t1) * 0.5
+  hw = (t1 - t0) * 0.5
+  hw2 = hw * hw
+  rad2 = MIP_RAD * MIP_RAD
+  if kind == "cone":
+    mu2 = mu * mu
+    hw4 = hw2 * hw2
+    denom = 3.0 * mu2 + hw2
+    t_mean = mu + (2.0 * mu * hw2) / denom
+    t_var = (hw2 / 3.0
+             - (4.0 / 15.0) * ((hw4 * (12.0 * mu2 - hw2)) / (denom * denom)))
+    r_var = rad2 * (mu2 / 4.0 + (5.0 / 12.0) * hw2
+                    - (4.0 / 15.0) * hw4 / denom)
+  elif kind == "cylinder":
+    t_mean = mu
+    t_var = hw2 * (4.0 / 12.0)           # (t1-t0)^2/12
+    r_var = jnp.full_like(mu, rad2 / 4.0)
+  else:
+    raise NotImplementedError(f"fused kernel: mip kind {kind}")
+
+  mean = (r_o[:, None, :] + t_mean[:, :, None] * r_d[:, None, :]
+          ).reshape(P, 3)
+  magn_sq = jnp.maximum(jnp.sum(r_d * r_d, axis=-1, keepdims=True), 1e-10)
+  outer = r_d * r_d                                    # [B, 3]
+  null = 1.0 - outer / magn_sq
+  cov = (t_var[:, :, None] * outer[:, None, :]
+         + r_var[:, :, None] * null[:, None, :]).reshape(P, 3)
+
+  S = _ipe_scale_mat()
+  y = _dot_f32(mean, S)                                # [P, 48]
+  y_var = _dot_f32(cov, S * S)
+  att = jnp.exp(-0.5 * y_var)
+  feats = jnp.concatenate(
+      [att * _sin_approx(y), att * _cos_approx(y)], axis=-1)
+  return feats.astype(jnp.bfloat16)                    # [P, 96]
+
+
 def _sin_approx(y):
   r = _reduce_pi(y.astype(jnp.float32))
   r2 = r * r
@@ -412,14 +490,22 @@ def _write_outputs(out_ref, rgb, weights, B, T, sky_white):
 
 
 def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
-                   block_rays, sigmoid_kind="thin", sky_white=False):
-  """refs: [w list..., out_ref]. Weight order produced by `_flatten_params`.
-  elaz_ref: per-ray (elev, azim) of the view direction, precomputed outside
-  the kernel (Mosaic has no acos/atan2 primitives). ts_ref/dists_ref
-  [1, T]: sample positions + segment lengths (incl. the 1e10 tail),
-  host-computed so training can feed stratified samples."""
-  out_ref = refs[-1]
-  wrefs = refs[:-1]
+                   block_rays, sigmoid_kind="thin", sky_white=False,
+                   enc_kind="cp", want_weights=False):
+  """refs: [w list..., out_ref(, weights_ref)]. Weight order produced by
+  `_flatten_params`. elaz_ref: per-ray (elev, azim) of the view direction,
+  precomputed outside the kernel (Mosaic has no acos/atan2 primitives).
+  ts_ref/dists_ref [1|B, T]: sample positions + segment lengths (incl. the
+  1e10 tail), host-computed — [1, T] is the shared (stratified) grid, a
+  [B, T] block carries per-ray samples (hierarchical fine pass).
+
+  enc_kind: "cp" (packed hat-basis CP volume) or "cone"/"cylinder"
+  (MipNeRF IPE features, no encoder params). want_weights additionally
+  writes the per-ray compositing weights [B, T] (for inverse-CDF
+  importance sampling; gradients do NOT flow through this output)."""
+  n_out = 2 if want_weights else 1
+  out_ref = refs[-n_out]
+  wrefs = refs[:-n_out]
   widx = [0]
 
   def next_w():
@@ -434,20 +520,25 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   r_o = rays[:, 0:3]
   r_d = rays[:, 3:6]
 
-  ts = ts_ref[:, :]                             # [1, T]
+  ts = ts_ref[:, :]                             # [1, T] or [B, T]
+  ts_b = jnp.broadcast_to(ts, (B, T)) if ts.shape[0] == 1 else ts
   # pts [B, T, 3] -> [P, 3]
-  pts = (r_o[:, None, :] + ts[0][None, :, None] * r_d[:, None, :]
+  pts = (r_o[:, None, :] + ts_b[:, :, None] * r_d[:, None, :]
          ).reshape(P, 3)
 
-  # ---- CP encoder (packed: all levels in one 240-wide hat stream) ----
-  pw = next_w()[...]                            # [3, 240, 32] block-diag
-  enc, _ = _cp_fwd(pts, pw)
+  if enc_kind == "cp":
+    # ---- CP encoder (packed: all levels in one 240-wide hat stream) ----
+    pw = next_w()[...]                          # [3, 240, 32] block-diag
+    enc, _ = _cp_fwd(pts, pw)
+    init_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  else:
+    # ---- MipNeRF IPE: features REPLACE the encoded input entirely ----
+    init_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
 
   def wbs(n_layers):
     return [(next_w()[...], next_w()[...]) for _ in range(n_layers + 2)]
 
   # ---- density MLP (SkipConnMLP reference wiring, see nn/mlp.py) ----
-  init_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
   first_out = _mlp_fwd(init_feat, wbs(N_LAYERS), _leaky_act, N_LAYERS)
   density = first_out[:, 0:1]                   # [P, 1]
   feats = first_out[:, 1:1 + INTERMEDIATE]
@@ -463,16 +554,22 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   # ---- compositing (matches ops.integrate.alpha_from_density) ----
   weights, _, _, _, _ = _composite_fwd(density, r_d, dists_ref[:, :], B, T)
   _write_outputs(out_ref, rgb, weights, B, T, sky_white)
+  if want_weights:
+    refs[-1][:, :] = weights
 
 
-def _flatten_params(params) -> Sequence[jnp.ndarray]:
-  """Flagship param pytree -> flat weight list in kernel consumption order."""
+def _flatten_params(params, enc_kind: str = "cp") -> Sequence[jnp.ndarray]:
+  """Flagship param pytree -> flat weight list in kernel consumption order.
+
+  enc_kind "cp": the density MLP's CP feature lines lead the list; mip
+  kinds ("cone"/"cylinder") have no encoder params — IPE is closed-form."""
   p = params["params"]
   dm = p["density_mlp"]
   rm = p["refl"]["mlp"]
   ws = []
-  for li in range(len(CP_RESOLUTIONS)):
-    ws.append(dm["enc"][f"lines_{li}"])
+  if enc_kind == "cp":
+    for li in range(len(CP_RESOLUTIONS)):
+      ws.append(dm["enc"][f"lines_{li}"])
   def add(layer):
     ws.append(layer["kernel"])
     ws.append(layer["bias"][None, :])  # [1, C] (2-D for TPU)
@@ -500,40 +597,56 @@ def _dists_base(ts):
   return jnp.maximum(d, 1e-5)
 
 
+def _ts_spec(ts, steps, block_rays):
+  """BlockSpec for a [1, T] shared grid or [N, T] per-ray sample tensor."""
+  if ts.shape[0] == 1:
+    return pl.BlockSpec((1, steps), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  return pl.BlockSpec((block_rays, steps), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+
+
 def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
-                  interpret, sigmoid_kind="thin", sky_white=False):
-  # forward consumes the CP lines pre-packed into one block-diagonal
-  # tensor (the backward kernel keeps the per-level layout for its
-  # per-level gradient scatter)
-  ws = [_pack_lines(ws[:len(CP_RESOLUTIONS)])] + list(
-      ws[len(CP_RESOLUTIONS):])
+                  interpret, sigmoid_kind="thin", sky_white=False,
+                  enc_kind="cp", want_weights=False):
+  if enc_kind == "cp":
+    # forward consumes the CP lines pre-packed into one block-diagonal
+    # tensor (the backward kernel keeps the per-level layout for its
+    # per-level gradient scatter)
+    ws = [_pack_lines(ws[:len(CP_RESOLUTIONS)])] + list(
+        ws[len(CP_RESOLUTIONS):])
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind,
-                             sky_white=sky_white)
+                             sky_white=sky_white, enc_kind=enc_kind,
+                             want_weights=want_weights)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
               pl.BlockSpec((block_rays, 2), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
-              pl.BlockSpec((1, steps), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM),
-              pl.BlockSpec((1, steps), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)]
+              _ts_spec(ts, steps, block_rays),
+              _ts_spec(dists, steps, block_rays)]
   for w in ws:
     in_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd,
         memory_space=pltpu.VMEM))
-  out_spec = pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
+  out_specs = pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+  out_shape = jax.ShapeDtypeStruct((N, 4), jnp.float32)
+  if want_weights:
+    out_specs = [out_specs,
+                 pl.BlockSpec((block_rays, steps), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [out_shape, jax.ShapeDtypeStruct((N, steps), jnp.float32)]
   return pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=in_specs,
-      out_specs=out_spec,
-      out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+      out_specs=out_specs,
+      out_shape=out_shape,
       interpret=interpret,
       # block_rays > 64 overflows the 16MB default scoped budget; v5e has
       # 128MB VMEM/core
@@ -588,6 +701,12 @@ BWD_BLOCK_RAYS = 16
 N_WS = len(CP_RESOLUTIONS) + 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2)
 
 
+def _n_ws(enc_kind: str) -> int:
+  """Weight-tensor count per enc kind (mip/IPE carries no encoder params)."""
+  n = 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2)
+  return n + (len(CP_RESOLUTIONS) if enc_kind == "cp" else 0)
+
+
 def _dot_t(a, b):
   """aᵀ b: [P, I], [P, O] -> [I, O] (weight-gradient matmul)."""
   return jax.lax.dot_general(
@@ -628,14 +747,20 @@ def _flatten_bt(m, B, T):
 
 
 def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
-                       packed_ref, *refs, steps, block_rays,
-                       sigmoid_kind="thin", sky_white=False):
-  """refs = (*w_refs, *dw_refs) in `_flatten_params` order; packed_ref is
-  the [3, 240, 32] block-diagonal CP lines (same packing as the forward
-  kernel) — gradients still scatter to the per-level [3, R, K] grefs."""
-  wrefs = refs[:N_WS]
-  grefs = refs[N_WS:]
-  assert len(grefs) == N_WS
+                       *refs, steps, block_rays,
+                       sigmoid_kind="thin", sky_white=False,
+                       enc_kind="cp"):
+  """refs = (packed_ref?, *w_refs, *dw_refs) in `_flatten_params` order;
+  for enc_kind "cp", packed_ref is the [3, 240, 32] block-diagonal CP
+  lines (same packing as the forward kernel) — gradients still scatter to
+  the per-level [3, R, K] grefs. Mip kinds carry no packed tensor and no
+  encoder gradients (IPE is closed-form)."""
+  if enc_kind == "cp":
+    packed_ref, refs = refs[0], refs[1:]
+  nw = _n_ws(enc_kind)
+  wrefs = refs[:nw]
+  grefs = refs[nw:]
+  assert len(grefs) == nw
 
   @pl.when(pl.program_id(0) == 0)
   def _zero():
@@ -644,7 +769,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
 
   B, T = block_rays, steps
   P = B * T
-  L = len(CP_RESOLUTIONS)
+  L = len(CP_RESOLUTIONS) if enc_kind == "cp" else 0
 
   def wb(k):      # density dense layer k = 0 (in) .. N_LAYERS+1 (out)
     return wrefs[L + 2 * k][...], wrefs[L + 2 * k + 1][...]
@@ -665,20 +790,24 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   rays = rays_ref[:, :]
   r_o, r_d = rays[:, 0:3], rays[:, 3:6]
   ts = ts_ref[:, :]
-  pts = (r_o[:, None, :] + ts[0][None, :, None] * r_d[:, None, :]
+  ts_b = jnp.broadcast_to(ts, (B, T)) if ts.shape[0] == 1 else ts
+  pts = (r_o[:, None, :] + ts_b[:, :, None] * r_d[:, None, :]
          ).reshape(P, 3)
 
   # ---- forward recompute, stashing the chain in VMEM ----
   # packed CP: one 240-wide hat stream + one matmul per axis (see the
   # forward kernel); the stash holds each MLP layer's bf16 PRE-activation
   # (skip-concat inputs are reconstructed from it + the init features)
-  pw = packed_ref[...]                           # [3, 240, 32]
-  enc, cp_stash = _cp_fwd(pts, pw)
+  if enc_kind == "cp":
+    pw = packed_ref[...]                         # [3, 240, 32]
+    enc, cp_stash = _cp_fwd(pts, pw)
+    d_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  else:
+    d_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
 
   wbs_d = [wb(k) for k in range(N_LAYERS + 2)]
   wbs_r = [rwb(k) for k in range(R_LAYERS + 2)]
 
-  d_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
   d_hs = []                                      # density pre-activations
   first_out = _mlp_fwd(d_feat, wbs_d, _leaky_act, N_LAYERS, stash=d_hs)
   density = first_out[:, 0:1]
@@ -714,31 +843,35 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                               _leaky_grad, N_LAYERS, HIDDEN)
   for k, (dW, db) in enumerate(d_grads):
     acc_wb(k, dW, db)
-  denc = d_featg[:, IN_DIM:]                    # raw-pts grad discarded
+  if enc_kind == "cp":
+    denc = d_featg[:, IN_DIM:]                  # raw-pts grad discarded
 
-  # ---- backward: CP encoder (lines only; no position grads) ----
-  # d lines_axis = w_catᵀ @ (denc ⊙ Π_{other axes} f) — one [240, 32]
-  # matmul per axis; per-level grads are its diagonal blocks
-  dls, _ = _cp_bwd(denc, cp_stash, pw, want_dpts=False)
-  for axis in range(3):
-    dl = dls[axis]
-    r0, k0 = 0, 0
-    for li, R in enumerate(CP_RESOLUTIONS):
-      grefs[li][axis] = (grefs[li][axis]
-                         + dl[r0:r0 + R, k0:k0 + CP_RANK])
-      r0 += R
-      k0 += CP_RANK
+    # ---- backward: CP encoder (lines only; no position grads) ----
+    # d lines_axis = w_catᵀ @ (denc ⊙ Π_{other axes} f) — one [240, 32]
+    # matmul per axis; per-level grads are its diagonal blocks
+    dls, _ = _cp_bwd(denc, cp_stash, pw, want_dpts=False)
+    for axis in range(3):
+      dl = dls[axis]
+      r0, k0 = 0, 0
+      for li, R in enumerate(CP_RESOLUTIONS):
+        grefs[li][axis] = (grefs[li][axis]
+                           + dl[r0:r0 + R, k0:k0 + CP_RANK])
+        r0 += R
+        k0 += CP_RANK
+  # mip/IPE: the feature stream has no params and rays carry no gradient
+  # on this path, so d_featg is fully discarded
 
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
-                   interpret, sigmoid_kind="thin", sky_white=False):
-  packed = _pack_lines(ws[:len(CP_RESOLUTIONS)])
+                   interpret, sigmoid_kind="thin", sky_white=False,
+                   enc_kind="cp"):
+  extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind,
-                             sky_white=sky_white)
+                             sky_white=sky_white, enc_kind=enc_kind)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
@@ -746,12 +879,13 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                            memory_space=pltpu.VMEM),
               pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
-              pl.BlockSpec((1, steps), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM),
-              pl.BlockSpec((1, steps), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM),
-              pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
-                           memory_space=pltpu.VMEM)]
+              _ts_spec(ts, steps, block_rays),
+              _ts_spec(dists, steps, block_rays)]
+  if enc_kind == "cp":
+    packed = _pack_lines(ws[:len(CP_RESOLUTIONS)])
+    extra = (packed,)
+    in_specs.append(pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
   out_specs, out_shapes = [], []
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -772,36 +906,42 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
       # budget; v5e has 128MB VMEM/core
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(rays, elaz, g, ts, dists, packed, *ws)
+  )(rays, elaz, g, ts, dists, *extra, *ws)
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
-                      sigmoid_kind="thin", sky_white=False):
+                      sigmoid_kind="thin", sky_white=False, enc_kind="cp",
+                      want_weights=False):
   """Per-config custom-VJP fused render: (ws, rays, elaz, ts, dists) ->
-  [N, 4]. Gradients flow to the weights only (rays/ts get zeros — camera
-  training stays on the XLA oracle path)."""
+  [N, 4] (or ([N, 4], weights [N, T]) with want_weights). Gradients flow
+  to the weights only (rays/ts get zeros — camera training stays on the
+  XLA oracle path); the weights output is non-differentiable by design
+  (hierarchical sampling stop-grad, models/nerf.py CoarseFineNeRF)."""
+
+  def _bf(ws):
+    return tuple(
+        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in ws)
 
   @jax.custom_vjp
   def render(ws, rays, elaz, ts, dists):
-    ws_bf = tuple(
-        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
-        for w in ws)
-    return _forward_call(ws_bf, rays, elaz, ts, dists, steps=steps,
+    return _forward_call(_bf(ws), rays, elaz, ts, dists, steps=steps,
                          block_rays=block_rays, interpret=interpret,
-                         sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                         sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                         enc_kind=enc_kind, want_weights=want_weights)
 
   def fwd(ws, rays, elaz, ts, dists):
     return render(ws, rays, elaz, ts, dists), (ws, rays, elaz, ts, dists)
 
   def bwd(res, g):
     ws, rays, elaz, ts, dists = res
-    ws_bf = tuple(
-        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
-        for w in ws)
-    dws = _backward_call(ws_bf, rays, elaz, ts, dists, g, steps=steps,
+    if want_weights:
+      g = g[0]  # the weights output drives sampling only (stop-grad)
+    dws = _backward_call(_bf(ws), rays, elaz, ts, dists, g, steps=steps,
                          block_rays=bwd_block_rays, interpret=interpret,
-                         sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                         sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                         enc_kind=enc_kind)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
             jnp.zeros_like(ts), jnp.zeros_like(dists))
@@ -841,7 +981,8 @@ def fused_plain_cp_render_train_sharded(
     t_near: float = 2.0, t_far: float = 6.0,
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
-    sigmoid_kind: str = "thin", sky_kind: str = "black"):
+    sigmoid_kind: str = "thin", sky_kind: str = "black",
+    enc_kind: str = "cp"):
   """Multi-chip fused training render: rays shard over the mesh's data
   axis, weights replicate, and each chip runs the fused kernel on its
   shard. Differentiation works through shard_map's transpose — the
@@ -850,6 +991,8 @@ def fused_plain_cp_render_train_sharded(
   all-reduced weight gradients (the Pallas analog of the XLA oracle's
   sharding-constraint data parallelism in train/driver.py).
 
+  enc_kind "cone"/"cylinder" selects the MipNeRF IPE envelope (same
+  sharding; the IPE features are recomputed per chip in-kernel).
   N must be a multiple of mesh.size * block_rays.
   """
   from jax.sharding import PartitionSpec as P
@@ -858,14 +1001,14 @@ def fused_plain_cp_render_train_sharded(
   except ImportError:
     from jax.experimental.shard_map import shard_map
 
-  ws = tuple(_flatten_params(params))
+  ws = tuple(_flatten_params(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
   if ts is None:
     ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
   render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
-                             sigmoid_kind, sky_kind == "white")
+                             sigmoid_kind, sky_kind == "white", enc_kind)
 
   import inspect
   sig = inspect.signature(shard_map).parameters
@@ -880,3 +1023,129 @@ def fused_plain_cp_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(ws, rays, elaz, ts, dists)
+
+
+# ---------------------------------------------------------------------------
+# MipNeRF IPE envelope: PlainNeRF(mip="cone"|"cylinder") — the density MLP
+# consumes closed-form IPE features computed IN the kernel (BASELINE config
+# #2; reference src/utils.py:23-141 + src/nerf.py:310-361).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("mip_kind", "steps", "t_near",
+                                             "t_far", "block_rays",
+                                             "interpret", "sigmoid_kind",
+                                             "sky_kind"))
+def fused_plain_mip_render(params, rays, *, mip_kind: str = "cone",
+                           steps: int = 64, t_near: float = 2.0,
+                           t_far: float = 6.0,
+                           block_rays: int = RENDER_BLOCK_RAYS,
+                           interpret: bool = False,
+                           sigmoid_kind: str = "thin",
+                           sky_kind: str = "black"):
+  """Render rays [N, 6] -> [N, 4] for PlainNeRF(mip=mip_kind)."""
+  ws = [w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in _flatten_params(params, enc_kind=mip_kind)]
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  return _forward_call(ws, rays, elaz, ts, dists, steps=steps,
+                       block_rays=block_rays, interpret=interpret,
+                       sigmoid_kind=sigmoid_kind,
+                       sky_white=sky_kind == "white", enc_kind=mip_kind)
+
+
+def fused_plain_mip_render_train(params, rays, ts=None, *,
+                                 mip_kind: str = "cone", steps: int = 64,
+                                 t_near: float = 2.0, t_far: float = 6.0,
+                                 block_rays: int = DEFAULT_BLOCK_RAYS,
+                                 bwd_block_rays: int = BWD_BLOCK_RAYS,
+                                 interpret: bool = False,
+                                 sigmoid_kind: str = "thin",
+                                 sky_kind: str = "black"):
+  """Differentiable fused mip render: [N, 6] -> [N, 4] with weight grads
+  via the custom-VJP backward kernel (IPE recomputed in VMEM)."""
+  ws = tuple(_flatten_params(params, enc_kind=mip_kind))
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
+                             sigmoid_kind, sky_kind == "white", mip_kind)
+  return render(ws, rays, elaz, ts, dists)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (coarse -> inverse-CDF fine) envelope for CoarseFineNeRF
+# (models/nerf.py; the reference's src/nerf.py:526-581 is unfinished).
+# Two fused-kernel passes share ONE weight set; between them, sample_pdf +
+# merge_ts run in XLA ([N, T] sorts/searchsorted — cheap, non-MXU work).
+# The coarse weights feed sampling under stop-grad, matching the oracle.
+# ---------------------------------------------------------------------------
+
+
+def fused_coarse_fine_render(params, rays, *, enc_kind: str = "cp",
+                             steps: int = 64, fine_steps: int = 64,
+                             t_near: float = 2.0, t_far: float = 6.0,
+                             block_rays: int = RENDER_BLOCK_RAYS,
+                             interpret: bool = False,
+                             sigmoid_kind: str = "thin",
+                             sky_kind: str = "black"):
+  """Eval render: [N, 6] -> fine [N, 4] (deterministic CDF inversion)."""
+  out_f, _ = _coarse_fine(params, rays, None, enc_kind=enc_kind,
+                          steps=steps, fine_steps=fine_steps,
+                          t_near=t_near, t_far=t_far,
+                          block_rays=block_rays,
+                          bwd_block_rays=BWD_BLOCK_RAYS,
+                          interpret=interpret, sigmoid_kind=sigmoid_kind,
+                          sky_kind=sky_kind)
+  return out_f
+
+
+def fused_coarse_fine_train(params, rays, ts=None, key=None, *,
+                            enc_kind: str = "cp", steps: int = 64,
+                            fine_steps: int = 64, t_near: float = 2.0,
+                            t_far: float = 6.0,
+                            block_rays: int = DEFAULT_BLOCK_RAYS,
+                            bwd_block_rays: int = BWD_BLOCK_RAYS,
+                            interpret: bool = False,
+                            sigmoid_kind: str = "thin",
+                            sky_kind: str = "black"):
+  """Differentiable hierarchical render: returns (fine [N, 4],
+  coarse [N, 4]) — the training loss supervises both passes
+  (train/driver.py's `coarse_rgb` handling)."""
+  return _coarse_fine(params, rays, key, ts=ts, enc_kind=enc_kind,
+                      steps=steps, fine_steps=fine_steps, t_near=t_near,
+                      t_far=t_far, block_rays=block_rays,
+                      bwd_block_rays=bwd_block_rays, interpret=interpret,
+                      sigmoid_kind=sigmoid_kind, sky_kind=sky_kind)
+
+
+def _coarse_fine(params, rays, key, ts=None, *, enc_kind, steps,
+                 fine_steps, t_near, t_far, block_rays, bwd_block_rays,
+                 interpret, sigmoid_kind, sky_kind):
+  from ...ops import sampling
+  from ...ops.math import dir_to_elev_azim
+  ws = tuple(_flatten_params(params, enc_kind=enc_kind))
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  sky_white = sky_kind == "white"
+
+  render_c = _make_diff_render(steps, block_rays, bwd_block_rays,
+                               interpret, sigmoid_kind, sky_white,
+                               enc_kind, True)
+  out_c, w_c = render_c(ws, rays, elaz, ts, _dists_base(ts))
+
+  ts_b = jnp.broadcast_to(ts, (rays.shape[0], steps))
+  fine_ts = sampling.sample_pdf(ts_b, jax.lax.stop_gradient(w_c),
+                                N=fine_steps, key=key)
+  all_ts = sampling.merge_ts(ts_b, fine_ts)       # [N, steps+fine_steps]
+
+  render_f = _make_diff_render(steps + fine_steps, block_rays,
+                               bwd_block_rays, interpret, sigmoid_kind,
+                               sky_white, enc_kind, False)
+  out_f = render_f(ws, rays, elaz, all_ts, _dists_base(all_ts))
+  return out_f, out_c

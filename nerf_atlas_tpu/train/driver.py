@@ -123,7 +123,8 @@ def _fused_common_ok(model, cfg, extra_kwargs):
   from .regularizers import REGULARIZERS
   from ..ops.pallas.render import FUSED_SIGMOID_KINDS
   return not (
-      model.sky_kind not in ("black", "white") or model.mip is not None
+      model.sky_kind not in ("black", "white")
+      or model.mip not in (None, "cone", "cylinder")
       or model.latent_size != 0
       or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
       or model.density_noise != 0
@@ -151,19 +152,25 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     from ..ops import rays as rays_ops
     from ..ops.pallas.render import DEFAULT_BLOCK_RAYS
 
+    from ..models import CoarseFineNeRF
     if isinstance(model, PlainNeRF):
-      if (model.enc_kind != "cp" or model.refl_kind != "view"
+      # with mip set, the IPE envelope replaces the CP encoder (BASELINE
+      # config #2's feature path); otherwise the cp encoder is required
+      if ((model.mip is None and model.enc_kind != "cp")
+          or model.refl_kind != "view"
           or model.intermediate_size != 32
           or model.refl_space != "identity" or ds.times is not None):
         return None
       from ..ops.pallas.render import (fused_plain_cp_render_train,
                                        fused_plain_cp_render_train_sharded,
+                                       fused_plain_mip_render_train,
                                        _flatten_params)
+      enc_kind = model.mip or "cp"
       if mesh is not None and (
           mesh.size == 1
           or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
         return None
-      _flatten_params(params)  # raises if the param structure diverges
+      _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
 
       def fn(p, rays, t, key):
         # shared stratified jitter, matching the oracle's train-time ts
@@ -175,9 +182,40 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
           return fused_plain_cp_render_train_sharded(
               p, rays, ts, mesh=mesh, steps=model.steps,
               t_near=model.t_near, t_far=model.t_far,
+              sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind,
+              enc_kind=enc_kind)
+        if model.mip is not None:
+          return fused_plain_mip_render_train(
+              p, rays, ts, mip_kind=model.mip, steps=model.steps,
+              t_near=model.t_near, t_far=model.t_far,
               sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
         return fused_plain_cp_render_train(
             p, rays, ts, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind)
+
+      return fn
+
+    if isinstance(model, CoarseFineNeRF):
+      # hierarchical flagship: two fused passes share one weight set;
+      # sample_pdf + merge run in XLA between them. The train fn returns
+      # (fine, coarse) — compute_loss supervises both (see below).
+      if ((model.mip is None and model.enc_kind != "cp")
+          or model.refl_kind != "view" or model.intermediate_size != 32
+          or ds.times is not None or mesh is not None):
+        return None
+      from ..ops.pallas.render import (fused_coarse_fine_train,
+                                       _flatten_params)
+      enc_kind = model.mip or "cp"
+      _flatten_params(params, enc_kind=enc_kind)
+
+      def fn(p, rays, t, key):
+        k_ts, k_pdf = jax.random.split(key)
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=k_ts)[None]
+        return fused_coarse_fine_train(
+            p, rays, ts, k_pdf, enc_kind=enc_kind, steps=model.steps,
+            fine_steps=model.fine_steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
             sky_kind=model.sky_kind)
 
@@ -191,7 +229,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       ck = dict(model.canonical_kwargs or {})
       allowed = {"enc_kind", "refl_kind", "steps", "t_near", "t_far",
                  "sky_kind", "sigmoid_kind"}
-      if (model.canonical_kind != "plain" or model.spline_points != 0
+      if (model.mip is not None
+          or model.canonical_kind != "plain" or model.spline_points != 0
           or not model.with_rigidity or model.time_latent_size != 0
           or ck.get("enc_kind", "cp") != "cp"
           or ck.get("refl_kind", "view") != "view"
@@ -269,8 +308,11 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
       smooth_opts = {"eps": cfg.smooth_eps, "eps_rng": cfg.smooth_eps_rng,
                      "ords": cfg.smooth_ords}
       if fused_train is not None:
-        pred = fused_train(model_params, rays, t, k2)[:, :3]
-        main = loss_fn(pred, pix)
+        out = fused_train(model_params, rays, t, k2)
+        if isinstance(out, tuple):  # hierarchical: supervise both passes
+          main = loss_fn(out[0][:, :3], pix) + loss_fn(out[1][:, :3], pix)
+        else:
+          main = loss_fn(out[:, :3], pix)
         reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
                                  smooth_opts)
         return main + reg, main
@@ -510,32 +552,42 @@ def _fused_render_fn(model, params):
   (PlainNeRF, cp encoder, default sizes, black sky) on a TPU backend;
   None otherwise (the pure-XLA oracle renders everything else)."""
   try:
-    from ..models import PlainNeRF
+    from ..models import CoarseFineNeRF, PlainNeRF
     from ..ops.pallas.render import FUSED_SIGMOID_KINDS
-    if (not isinstance(model, PlainNeRF) or model.enc_kind != "cp"
+    is_cf = isinstance(model, CoarseFineNeRF)
+    if ((not isinstance(model, PlainNeRF) and not is_cf)
+        or (model.mip is None and model.enc_kind != "cp")
         or model.sky_kind not in ("black", "white", "random")
-        or model.mip is not None
+        or model.mip not in (None, "cone", "cylinder")
         or model.refl_kind != "view" or model.intermediate_size != 32
         or model.latent_size != 0
         or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
-        or model.refl_space != "identity"
+        or getattr(model, "refl_space", "identity") != "identity"
         or jax.default_backend() == "cpu"):
       # configs outside the kernel's rgb-activation / sky / identity-
       # space envelope render through the XLA oracle
       return None
     from ..ops.pallas import fused_plain_cp_render
-    from ..ops.pallas.render import DEFAULT_BLOCK_RAYS, _flatten_params
-    _flatten_params(params)  # raises if the param structure diverges
+    from ..ops.pallas.render import (RENDER_BLOCK_RAYS, _flatten_params,
+                                     fused_coarse_fine_render,
+                                     fused_plain_mip_render)
+    enc_kind = model.mip or "cp"
+    _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
 
     def fn(p, rays_chunk):
-      br = DEFAULT_BLOCK_RAYS
+      br = RENDER_BLOCK_RAYS
       n = rays_chunk.shape[0]
       pad = (-n) % br
       rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
-      out = fused_plain_cp_render(p, rc, steps=model.steps,
-                                  t_near=model.t_near, t_far=model.t_far,
-                                  sigmoid_kind=model.sigmoid_kind,
-                                  sky_kind=model.sky_kind)
+      kw = dict(steps=model.steps, t_near=model.t_near, t_far=model.t_far,
+                sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
+      if is_cf:
+        out = fused_coarse_fine_render(p, rc, enc_kind=enc_kind,
+                                       fine_steps=model.fine_steps, **kw)
+      elif model.mip is not None:
+        out = fused_plain_mip_render(p, rc, mip_kind=model.mip, **kw)
+      else:
+        out = fused_plain_cp_render(p, rc, **kw)
       return out[:n, :3]
 
     return fn

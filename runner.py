@@ -27,7 +27,7 @@ def arguments(argv=None):
   a.add_argument("-d", "--data", default="", help="path to data")
   a.add_argument("--data-kind", default=None,
                  choices=[None, "original", "dnerf", "dtu", "nerv_point",
-                          "single_video", "pixel-single", "synthetic",
+                          "shiny", "single_video", "pixel-single", "synthetic",
                           "synthetic-dyn", "synthetic-lit"],
                  help="dataset loader (default: derived from path)")
   a.add_argument("--derive-kind", action="store_false",

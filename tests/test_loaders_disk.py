@@ -167,3 +167,40 @@ def test_nerv_multi_point_split(tmp_path):
   assert b.labels.shape[0] == 4
   bm = loaders.nerv_point(root, training=True, size=8, multi_point=True)
   assert bm.lights["intensity"] == 55.0
+
+
+def test_shiny_loader_roundtrip(tmp_path):
+  """NeX shiny (LLFF) fixture: poses_bounds + hwf_cxcy + images. The
+  LLFF [down,right,back] axis order converts to NeRF [right,up,back],
+  translations rescale by 1/(0.75*near), focal rescales to the loaded
+  size, and every-8th-view splits test from train."""
+  import imageio.v2 as imageio
+  root = str(tmp_path / "cd")
+  os.makedirs(os.path.join(root, "images"), exist_ok=True)
+  n, orig_w, size = 9, 32, 16
+  poses = np.asarray(synthetic.hemisphere_poses(n))  # NeRF-style [N,4,4]
+  # NeRF cols [right, up, back, t] -> LLFF cols [down, right, back, t]
+  llff = np.concatenate(
+      [-poses[:, :3, 1:2], poses[:, :3, 0:1], poses[:, :3, 2:4]], -1)
+  bds = np.tile(np.array([[2.0, 6.0]]), (n, 1))
+  np.save(os.path.join(root, "poses_bounds.npy"),
+          np.concatenate([llff.reshape(n, 12), bds], -1))
+  np.save(os.path.join(root, "hwf_cxcy.npy"),
+          np.array([orig_w, orig_w, 40.0, 40.0, 16.0, 16.0]))
+  for i in range(n):
+    imageio.imwrite(os.path.join(root, "images", f"{i:03d}.png"),
+                    np.full((orig_w, orig_w, 3), 10 * i, np.uint8))
+  assert loaders.kind_from_path(root) == "shiny"
+  train = loaders.load(root, training=True, size=size)
+  test = loaders.load(root, training=False, size=size)
+  assert train.labels.shape == (7, size, size, 3)   # 9 - ceil(9/8) held out
+  assert test.labels.shape == (2, size, size, 3)    # views 0 and 8
+  np.testing.assert_allclose(test.labels[1], 80 / 255, atol=2 / 255)
+  # focal rescaled: 40px at width 32 -> 20px at size 16
+  np.testing.assert_allclose(float(train.camera.focal), 20.0, rtol=1e-6)
+  # rotation survives the axis-order round trip; translation scales by
+  # sc = 1/(0.75*near) = 1/1.5
+  c2w = np.asarray(train.camera.cam_to_world)
+  np.testing.assert_allclose(c2w[0, :3, :3], poses[1, :3, :3], atol=1e-5)
+  np.testing.assert_allclose(c2w[0, :3, 3], poses[1, :3, 3] / 1.5,
+                             atol=1e-5)
