@@ -65,6 +65,9 @@ def _skip_at(i: int, num_layers: int, skip: int = SKIP) -> bool:
 # still hits the fused kernel.
 DEFAULT_BLOCK_RAYS = 128
 RENDER_BLOCK_RAYS = 256
+# hierarchical fine passes cap rays-per-block so B*(steps+fine_steps)
+# stays near the proven compile/VMEM envelope (see _coarse_fine)
+_FINE_BLOCK_SAMPLES = 16384
 
 
 def _dot(a, b):
@@ -330,18 +333,30 @@ def _cp_bwd(denc, cp_stash, pw, want_dpts: bool = False):
 def _ipe_scale_mat():
   """S [3, 48] with S[c, k] = 2^(k//3)·[k%3 == c]: `mean @ S` lays lanes
   out scale-major / axis-minor, matching ops.mip.integrated_pos_enc_diag's
-  reshape. Built from iota in-kernel (no captured constants)."""
+  reshape. Built from iota in-kernel (no captured constants; exp2 of
+  integer-valued f32 is exact on the VPU — verified on-chip)."""
   row = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * MIP_DEGS), 0)
   col = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * MIP_DEGS), 1)
   sel = (col % 3 == row).astype(jnp.float32)
   return sel * jnp.exp2((col // 3).astype(jnp.float32))
 
 
-def _dot_f32(a, b):
+def _dot_exact(a, b):
+  """f32 matmul at TRUE f32 precision (multi-pass MXU).
+
+  The phase stream must NOT go through a default-precision dot: Mosaic
+  lowers f32 dots to single-pass bf16 on the MXU, and an 8-bit-mantissa
+  phase at y≈2^8 carries ±O(1) radian error into sin — the bf16
+  fourier-phase trap (measured on v5e: 0.41 max feature error at the 2^6
+  scale, density-grad cosine 0.78 vs oracle). preferred_element_type
+  only widens the ACCUMULATOR; precision=HIGHEST fixes the inputs
+  (measured exactly 0 error vs f64 on-chip) at negligible cost for this
+  [P, 3] x [3, 48] shape."""
   return jax.lax.dot_general(
       a.astype(jnp.float32), b.astype(jnp.float32),
       dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)
+      preferred_element_type=jnp.float32,
+      precision=jax.lax.Precision.HIGHEST)
 
 
 def _ipe_fwd(r_o, r_d, ts_b, kind, B, T):
@@ -383,8 +398,8 @@ def _ipe_fwd(r_o, r_d, ts_b, kind, B, T):
          + r_var[:, :, None] * null[:, None, :]).reshape(P, 3)
 
   S = _ipe_scale_mat()
-  y = _dot_f32(mean, S)                                # [P, 48]
-  y_var = _dot_f32(cov, S * S)
+  y = _dot_exact(mean, S)                              # [P, 48] exact phases
+  y_var = _dot_exact(cov, S * S)
   att = jnp.exp(-0.5 * y_var)
   feats = jnp.concatenate(
       [att * _sin_approx(y), att * _cos_approx(y)], axis=-1)
@@ -1144,8 +1159,15 @@ def _coarse_fine(params, rays, key, ts=None, *, enc_kind, steps,
                                 N=fine_steps, key=key)
   all_ts = sampling.merge_ts(ts_b, fine_ts)       # [N, steps+fine_steps]
 
-  render_f = _make_diff_render(steps + fine_steps, block_rays,
-                               bwd_block_rays, interpret, sigmoid_kind,
-                               sky_white, enc_kind, False)
+  # the fine pass doubles T; cap its block so B*T stays within the
+  # proven ~16K-samples/block envelope (a 256-ray x 128-step block sent
+  # Mosaic's scheduler into an hour-class compile on v5e)
+  T_all = steps + fine_steps
+  cap = max(16, _FINE_BLOCK_SAMPLES // T_all)
+  br_f = block_rays
+  while br_f > cap:  # halve: a power-of-two fraction keeps N % br_f == 0
+    br_f //= 2
+  render_f = _make_diff_render(T_all, br_f, bwd_block_rays, interpret,
+                               sigmoid_kind, sky_white, enc_kind, False)
   out_f = render_f(ws, rays, elaz, all_ts, _dists_base(all_ts))
   return out_f, out_c

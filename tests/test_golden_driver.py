@@ -50,6 +50,18 @@ def test_golden_driver_dnerf_spline(tmp_path):
                   "--spline", "4", "-lr", "1e-3"], psnr_floor=14.5)  # measured 16.8 (r3)
 
 
+def test_golden_driver_coarse_fine_mip(tmp_path):
+  # BASELINE config #2: PlainNeRF-style field with MipNeRF IPE features
+  # + hierarchical fine sampling (reference makefile:15-19 shape); on a
+  # TPU backend this exact config engages the fused coarse-fine kernel.
+  # --mesh-devices 1: XLA:CPU's SPMD partitioner takes >15 min to compile
+  # the hierarchical sort graph over the 8 virtual devices (TPU backends
+  # are unaffected); the mesh path has its own coverage in test_train.
+  _run(tmp_path, ["--data-kind", "synthetic", "--model", "coarse_fine",
+                  "--mip", "cone", "-lr", "1e-3", "--mesh-devices", "1"],
+       psnr_floor=20.0)  # measured 22.0 (r3)
+
+
 def test_golden_driver_relit(tmp_path):
   # no --occ-kind: raycast visibility marches the SDF per step, which is
   # an hour-class run on a 1-core host; occlusion kinds have their own
