@@ -162,6 +162,11 @@ def _config_model(kind):
     return models.DynamicNeRF(
         canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
         spline_points=0, **common), True
+  if kind == "mip":
+    return models.PlainNeRF(mip="cone", **common), False
+  if kind == "coarse_fine":
+    return models.CoarseFineNeRF(enc_kind="cp", fine_steps=STEPS,
+                                 **common), False
   raise ValueError(kind)
 
 
@@ -194,12 +199,29 @@ def bench_config_train(kind, fused=False, n=15):
   @jax.jit
   def step(params, opt_state, k):
     def loss_fn(p):
-      if fused:
+      if fused and kind == "dnerf":
         from nerf_atlas_tpu.ops.pallas.render_dyn import (
             fused_dyn_cp_render_train)
         ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
         rgb = fused_dyn_cp_render_train(p, rays, times, ts, steps=STEPS,
                                         t_near=2.0, t_far=6.0)[:, :3]
+      elif fused and kind == "mip":
+        from nerf_atlas_tpu.ops.pallas.render import (
+            fused_plain_mip_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_plain_mip_render_train(p, rays, ts, mip_kind="cone",
+                                           steps=STEPS, t_near=2.0,
+                                           t_far=6.0)[:, :3]
+      elif fused and kind == "coarse_fine":
+        from nerf_atlas_tpu.ops.pallas.render import fused_coarse_fine_train
+        k_ts, k_pdf = jax.random.split(k)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0,
+                                 key=k_ts)[None]
+        fine, coarse = fused_coarse_fine_train(
+            p, rays, ts, k_pdf, enc_kind="cp", steps=STEPS,
+            fine_steps=STEPS, t_near=2.0, t_far=6.0)
+        return (jnp.mean((fine[:, :3] - target) ** 2)
+                + jnp.mean((coarse[:, :3] - target) ** 2))
       else:
         rgb = model.apply(p, rays, train=True, rngs={"sampler": k},
                           **kwargs)["rgb"]
@@ -254,23 +276,31 @@ def _per_config_table(baseline_table):
   """rays/s for every canonical config; vs_baseline uses the reference's
   per-config CPU measurement when available."""
   table = {}
-  for kind in ("tiny", "ae", "volsdf", "dnerf"):
+  for kind in ("tiny", "ae", "volsdf", "dnerf", "mip", "coarse_fine"):
     entry = {}
+    oracle_kinds = ("tiny", "ae", "volsdf", "dnerf")
     try:
-      entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
-      entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
+      if kind in oracle_kinds:
+        entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
+        entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
-    if kind == "dnerf":
+    if kind in ("dnerf", "mip", "coarse_fine"):
       try:
         entry["train_rays_per_sec_fused"] = round(
             bench_config_train(kind, fused=True), 1)
       except Exception as e:  # noqa: BLE001
         entry["fused_error"] = f"{type(e).__name__}: {e}"
-    ref = baseline_table.get(kind)
-    if isinstance(ref, (int, float)) and entry.get("train_rays_per_sec"):
-      best = entry.get("train_rays_per_sec_fused") or entry[
-          "train_rays_per_sec"]
+    if kind in ("mip", "coarse_fine"):
+      # BASELINE config #2 rows: the reference's hierarchical sampler is
+      # broken upstream (exit() at src/nerf.py:1772), so their baseline
+      # is the reference's plain recipe
+      entry["baseline_note"] = "vs the reference's plain recipe"
+    ref = baseline_table.get("plain" if kind in ("mip", "coarse_fine")
+                             else kind)
+    best = (entry.get("train_rays_per_sec_fused")
+            or entry.get("train_rays_per_sec"))
+    if isinstance(ref, (int, float)) and best:
       entry["train_vs_baseline"] = round(best / ref, 2)
     table[kind] = entry
   return table
