@@ -168,6 +168,60 @@ def test_sample_pdf_uniform_weights_uniform_samples():
   assert abs(float(out.mean()) - 0.5) < 0.05
 
 
+@pytest.mark.parametrize("dense", [False, True])
+def test_sampling_dense_forms_match_gather_oracle(dense, monkeypatch):
+  """Both backend-dispatch arms of sampling.py must be EXACT vs a numpy
+  searchsorted/sort oracle, including ties and degenerate all-zero
+  weights. dense=True forces the TPU compare-reduce forms (matmul
+  cumsum, rank-count sort, counting merge) on the CPU test host."""
+  if dense:
+    monkeypatch.setattr(sampling, "_dense",
+                        lambda T: T <= sampling._DENSE_MAX)
+  rng = np.random.default_rng(0)
+  B, T, N = 17, 64, 48
+  z = np.sort(rng.uniform(2, 6, (B, T)).astype(np.float32), -1)
+  w = rng.uniform(0, 1, (B, T)).astype(np.float32)
+  w[3, :] = 0.0   # degenerate: uniform fallback via eps
+  w[5, 10] = 100.0
+
+  def oracle(z, w, N, eps=1e-5):
+    w = w + eps
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+    u = np.broadcast_to(np.linspace(0, 1, N), z.shape[:-1] + (N,))
+    out = np.empty(u.shape)
+    z_ext = np.concatenate([z, z[..., -1:]], -1)
+    for b in range(z.shape[0]):
+      inds = np.searchsorted(cdf[b], u[b], side="right")
+      lo = np.maximum(inds - 1, 0)
+      hi = np.minimum(inds, cdf.shape[-1] - 1)
+      denom = cdf[b][hi] - cdf[b][lo]
+      denom = np.where(denom < 1e-5, 1.0, denom)
+      t = (u[b] - cdf[b][lo]) / denom
+      out[b] = z_ext[b][lo] + t * (z_ext[b][hi] - z_ext[b][lo])
+    return np.sort(out, -1)
+
+  got = np.asarray(sampling.sample_pdf(jnp.asarray(z), jnp.asarray(w), N=N))
+  want = oracle(z.astype(np.float64), w.astype(np.float64), N)
+  np.testing.assert_allclose(got, want, atol=5e-5)
+
+  # counting merge vs sort-concat: exact under heavy ties, incl. 1-D bcast
+  q = lambda a: np.sort(np.round(a * 8) / 8, -1).astype(np.float32)
+  c, f = q(rng.uniform(2, 6, (B, T))), q(rng.uniform(2, 6, (B, T)))
+  got_m = np.asarray(sampling.merge_ts(jnp.asarray(c), jnp.asarray(f)))
+  assert np.array_equal(got_m, np.sort(np.concatenate([c, f], -1), -1))
+  z1 = np.linspace(2, 6, T, dtype=np.float32)
+  got_1 = np.asarray(sampling.merge_ts(jnp.asarray(z1), jnp.asarray(f)))
+  want_1 = np.sort(np.concatenate([np.broadcast_to(z1, (B, T)), f], -1), -1)
+  assert np.array_equal(got_1, want_1)
+
+  # rank-count sort: exact with duplicates
+  x = (np.round(rng.uniform(0, 1, (B, 96)) * 16) / 16).astype(np.float32)
+  assert np.array_equal(np.asarray(sampling._sort_last(jnp.asarray(x))),
+                        np.sort(x, -1))
+
+
 def test_march_sphere_analytic():
   """Rays toward a unit sphere at origin: hit distance = |o| - 1."""
   def sdf_fn(p):
