@@ -205,6 +205,17 @@ def bench_config_train(kind, fused=False, n=15):
         ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
         rgb = fused_dyn_cp_render_train(p, rays, times, ts, steps=STEPS,
                                         t_near=2.0, t_far=6.0)[:, :3]
+      elif fused and kind == "ae":
+        from nerf_atlas_tpu.ops.pallas.render_ae import fused_ae_render_train
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_ae_render_train(p, rays, ts, steps=STEPS, t_near=2.0,
+                                    t_far=6.0)[:, :3]
+      elif fused and kind == "volsdf":
+        from nerf_atlas_tpu.ops.pallas.render_volsdf import (
+            fused_volsdf_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_volsdf_render_train(p, rays, ts, steps=STEPS,
+                                        t_near=2.0, t_far=6.0)[:, :3]
       elif fused and kind == "mip":
         from nerf_atlas_tpu.ops.pallas.render import (
             fused_plain_mip_render_train)
@@ -285,7 +296,7 @@ def _per_config_table(baseline_table):
         entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
-    if kind in ("dnerf", "mip", "coarse_fine"):
+    if kind in ("ae", "volsdf", "dnerf", "mip", "coarse_fine"):
       try:
         entry["train_rays_per_sec_fused"] = round(
             bench_config_train(kind, fused=True), 1)

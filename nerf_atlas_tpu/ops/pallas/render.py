@@ -424,15 +424,20 @@ def _cos_approx(y):
   return p
 
 
-def _composite_fwd(density, r_d, dists_base, B, T):
+def _composite_fwd(density, r_d, dists_base, B, T, pre_act=False):
   """Transmittance compositing (matches ops.integrate.alpha_from_density).
 
   density [P, 1] f32, r_d [B, 3], dists_base [1, T] (unscaled segment
   lengths incl. the 1e10 tail). Returns (weights, alpha, trans,
   one_m_alpha, dists), all [B, T] f32. The exclusive prefix sum over
   log-transmittance is a strictly-lower-triangular matmul on the MXU.
+
+  pre_act=True: `density` is already a physical σ ≥ 0 (VolSDF's Laplace
+  density) — applies the oracle's softplus=False path (relu) instead of
+  softplus(σ−1) (ops.integrate.alpha_from_density).
   """
-  sigma = jax.nn.softplus(density - 1.0)        # [P, 1]
+  sigma = (jnp.maximum(density, 0.0) if pre_act
+           else jax.nn.softplus(density - 1.0))  # [P, 1]
   d_bt = sigma.reshape(B, T)
   rd_norm = jnp.sqrt(jnp.sum(r_d * r_d, axis=-1, keepdims=True))  # [B, 1]
   dists = dists_base * rd_norm                  # [B, T]
@@ -453,12 +458,13 @@ def _composite_fwd(density, r_d, dists_base, B, T):
 
 
 def _composite_bwd(g, rgb, density, weights, alpha, trans, one_m_alpha,
-                   dists, B, T, sky_white):
+                   dists, B, T, sky_white, pre_act=False):
   """VJP of `_composite_fwd` + the weighted rgb/acc outputs.
 
   g [B, 4] output cotangent, rgb [P, 3]. Returns (drgb [P, 3],
   ddensity [P, 1]). The suffix sum Σ_{s>t} A_s w_s is the transposed
-  triangular matmul of the forward's exclusive scan.
+  triangular matmul of the forward's exclusive scan. pre_act as in
+  `_composite_fwd` (relu gate instead of the softplus derivative).
   """
   A = jnp.broadcast_to(g[:, 3:4], (B, T))                 # dL/dw_t (acc)
   drgb_cols = []
@@ -484,8 +490,10 @@ def _composite_bwd(g, rgb, density, weights, alpha, trans, one_m_alpha,
       preferred_element_type=jnp.float32)                 # Σ_{s>t} A_s w_s
   dalpha = A * trans - S / one_m_alpha
   dsig_bt = dalpha * dists * (1.0 - alpha)                # exp(-σD) = 1-α
-  ddensity = (_flatten_bt(dsig_bt, B, T)
-              * jax.nn.sigmoid(density - 1.0))            # [P, 1]
+  dsig = _flatten_bt(dsig_bt, B, T)
+  act_grad = ((0.5 + 0.5 * jnp.sign(density)) if pre_act  # relu gate
+              else jax.nn.sigmoid(density - 1.0))
+  ddensity = dsig * act_grad                              # [P, 1]
   return drgb, ddensity
 
 

@@ -221,6 +221,79 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
 
       return fn
 
+    from ..models import NeRFAE
+    if isinstance(model, NeRFAE):
+      # auto-encoded flagship (reference src/nerf.py:766-840): posenc →
+      # encoder MLP → L2-normalized latent → density transform → view
+      # refl, all fused (ops/pallas/render_ae.py). latent_l2 is constant
+      # under normalize_latent (‖enc‖ ≡ 1) and the common gate rejects
+      # active regularizers, so no extra output is needed.
+      # (no refl_space check: NeRFAE's refl is always identity-space)
+      if (model.refl_kind != "view"
+          or model.intermediate_size != 32 or model.encoding_size != 32
+          or not model.normalize_latent or model.mip is not None
+          or ds.times is not None):
+        return None
+      from ..ops.pallas.render_ae import (_flatten_params_ae,
+                                          fused_ae_render_train,
+                                          fused_ae_render_train_sharded)
+      if mesh is not None and (
+          mesh.size == 1
+          or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+        return None
+      _flatten_params_ae(params)  # raises on divergence
+
+      def fn(p, rays, t, key):
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+        kw = dict(steps=model.steps, t_near=model.t_near,
+                  t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+                  sky_kind=model.sky_kind)
+        if mesh is not None:
+          return fused_ae_render_train_sharded(p, rays, ts, mesh=mesh,
+                                               **kw)
+        return fused_ae_render_train(p, rays, ts, **kw)
+
+      return fn
+
+    from ..models import VolSDF
+    if isinstance(model, VolSDF):
+      # SDF flagship (reference src/nerf.py:861-1018, makefile volsdf
+      # recipe): fourier → SDF MLP → Laplace density (learned scale) →
+      # view refl, all fused (ops/pallas/render_volsdf.py). Secondary
+      # lighting/occlusion and the surface-render alternation stay on
+      # the oracle; the eikonal regularizer is rejected by the common
+      # gate (it needs autograd SDF normals).
+      if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.occ_kind is not None
+          or model.integrator_kind is not None
+          or model.light_kind is not None or model.with_normals
+          or model.sdf_latent != 32 or model.mip is not None
+          or model.sdf_kwargs or model.refl_kwargs
+          or cfg.volsdf_alternate or ds.times is not None):
+        return None
+      from ..ops.pallas.render_volsdf import (
+          _flatten_params_volsdf, fused_volsdf_render_train,
+          fused_volsdf_render_train_sharded)
+      if mesh is not None and (
+          mesh.size == 1
+          or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+        return None
+      _flatten_params_volsdf(params)  # raises on divergence
+
+      def fn(p, rays, t, key):
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+        kw = dict(steps=model.steps, t_near=model.t_near,
+                  t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+                  sky_kind=model.sky_kind)
+        if mesh is not None:
+          return fused_volsdf_render_train_sharded(p, rays, ts, mesh=mesh,
+                                                   **kw)
+        return fused_volsdf_render_train(p, rays, ts, **kw)
+
+      return fn
+
     if isinstance(model, DynamicNeRF):
       # D-NeRF flagship (reference src/nerf.py:1209-1319): direct Δx warp
       # + rigidity gate over the canonical PlainNeRF-cp chain. The fused
@@ -552,11 +625,44 @@ def _fused_render_fn(model, params):
   (PlainNeRF, cp encoder, default sizes, black sky) on a TPU backend;
   None otherwise (the pure-XLA oracle renders everything else)."""
   try:
-    from ..models import CoarseFineNeRF, PlainNeRF
+    from ..models import CoarseFineNeRF, NeRFAE, PlainNeRF, VolSDF
     from ..ops.pallas.render import FUSED_SIGMOID_KINDS
+    if isinstance(model, VolSDF):
+      # SDF flagship envelope: default MLP shape + view refl, no
+      # secondary lighting (render_volsdf.py)
+      if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.occ_kind is not None
+          or model.integrator_kind is not None
+          or model.light_kind is not None or model.sdf_latent != 32
+          or model.mip is not None or model.sdf_kwargs
+          or model.refl_kwargs or model.latent_size != 0
+          or model.sky_kind not in ("black", "white", "random")
+          or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
+          or jax.default_backend() == "cpu"):
+        return None
+      from ..ops.pallas.render import RENDER_BLOCK_RAYS
+      from ..ops.pallas.render_volsdf import (_flatten_params_volsdf,
+                                              fused_volsdf_render)
+      _flatten_params_volsdf(params)  # raises on divergence
+
+      def vs_fn(p, rays_chunk):
+        br = RENDER_BLOCK_RAYS
+        n = rays_chunk.shape[0]
+        pad = (-n) % br
+        rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
+        out = fused_volsdf_render(
+            p, rc, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind)
+        return out[:n, :3]
+
+      return vs_fn
     is_cf = isinstance(model, CoarseFineNeRF)
-    if ((not isinstance(model, PlainNeRF) and not is_cf)
-        or (model.mip is None and model.enc_kind != "cp")
+    is_ae = isinstance(model, NeRFAE)
+    if ((not isinstance(model, PlainNeRF) and not is_cf and not is_ae)
+        or (not is_ae and model.mip is None and model.enc_kind != "cp")
+        or (is_ae and (model.mip is not None or model.encoding_size != 32
+                       or not model.normalize_latent))
         or model.sky_kind not in ("black", "white", "random")
         or model.mip not in (None, "cone", "cylinder")
         or model.refl_kind != "view" or model.intermediate_size != 32
@@ -571,8 +677,14 @@ def _fused_render_fn(model, params):
     from ..ops.pallas.render import (RENDER_BLOCK_RAYS, _flatten_params,
                                      fused_coarse_fine_render,
                                      fused_plain_mip_render)
-    enc_kind = model.mip or "cp"
-    _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+    if is_ae:
+      from ..ops.pallas.render_ae import (_flatten_params_ae,
+                                          fused_ae_render)
+      _flatten_params_ae(params)  # raises on divergence
+      enc_kind = None
+    else:
+      enc_kind = model.mip or "cp"
+      _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
 
     def fn(p, rays_chunk):
       br = RENDER_BLOCK_RAYS
@@ -581,7 +693,9 @@ def _fused_render_fn(model, params):
       rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
       kw = dict(steps=model.steps, t_near=model.t_near, t_far=model.t_far,
                 sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
-      if is_cf:
+      if is_ae:
+        out = fused_ae_render(p, rc, **kw)
+      elif is_cf:
         out = fused_coarse_fine_render(p, rc, enc_kind=enc_kind,
                                        fine_steps=model.fine_steps, **kw)
       elif model.mip is not None:
