@@ -43,7 +43,7 @@ synth-dyn-spline:
 synth-nerv:  # relighting: moving point lights + learned-occ shadows
 	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
 	  --size 48 --num-views 8 --epochs 2000 --batch-size 1024 --steps 24 \
-	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --near 1.5 --far 4.5 -lr 3e-4 --refl-kind diffuse \
 	  --light-kind dataset --occ-kind learned --integrator-kind direct \
 	  --eikonal-weight 0.05 --occ-decay-weight 1e-3 \
 	  --outdir outputs/synth_nerv
@@ -51,7 +51,7 @@ synth-nerv:  # relighting: moving point lights + learned-occ shadows
 synth-nerv-path:  # one-bounce path integration variant
 	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
 	  --size 32 --num-views 8 --epochs 800 --batch-size 512 --steps 16 \
-	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --near 1.5 --far 4.5 -lr 3e-4 --refl-kind diffuse \
 	  --light-kind dataset --integrator-kind path \
 	  --eikonal-weight 0.05 --outdir outputs/synth_nerv_path
 
@@ -71,13 +71,13 @@ synth-volsdf-alternate:  # alternate volume/surface supervision
 synth-volsdf-to-path:  # checkpoint surgery: direct -> path conversion
 	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
 	  --size 32 --num-views 8 --epochs 400 --batch-size 512 --steps 16 \
-	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --near 1.5 --far 4.5 -lr 3e-4 --refl-kind diffuse \
 	  --light-kind dataset --integrator-kind direct \
 	  --save outputs/volsdf_direct/model.ckpt \
 	  --outdir outputs/volsdf_direct
 	$(PY) runner.py -d "" --data-kind synthetic-lit --model volsdf \
 	  --size 32 --num-views 8 --epochs 400 --batch-size 512 --steps 16 \
-	  --near 1.5 --far 4.5 -lr 1e-3 --refl-kind diffuse \
+	  --near 1.5 --far 4.5 -lr 3e-4 --refl-kind diffuse \
 	  --light-kind dataset --integrator-kind direct \
 	  --volsdf-direct-to-path --load outputs/volsdf_direct/model.ckpt \
 	  --outdir outputs/volsdf_path

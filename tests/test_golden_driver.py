@@ -9,17 +9,44 @@ seed/backend jitter while still catching halvings.
 
 Configs mirror the reference's canonical recipes (makefile: ae:380-384,
 volsdf:21-28, dnerf:105-114, nerv relighting via --light-kind dataset).
+
+Every golden ALSO asserts the trained PSNR beats the all-black trivial
+baseline of its scene by >= 2 dB — a floor alone can silently sit below
+the trivial level (round 3 caught exactly that: VolSDF at lr 1e-3
+collapsed to empty density and scored the black baseline, 12.7, to the
+hundredth, and the relit golden scored BELOW its scene's 21.5 black
+level; both were "passing").
 """
 import os
 
+import numpy as np
 import pytest
 
 import runner
 
+
+def _black_psnr(argv):
+  """All-black PSNR of the golden's exact scene (the trivial baseline)."""
+  from nerf_atlas_tpu.data import synthetic
+  get = lambda flag: argv[argv.index(flag) + 1]
+  kw = {}
+  kind = get("--data-kind")
+  if kind == "synthetic-lit":
+    kw["lit"] = True
+  elif kind == "synthetic-dyn":
+    kw["dynamic"] = True
+  labels, *_ = synthetic.dataset(num_views=int(get("--num-views")),
+                                 size=int(get("--size")), seed=0, **kw)
+  if isinstance(labels, (tuple, list)):
+    labels = labels[0]
+  im = np.asarray(labels)[..., :3]
+  return float(-10 * np.log10((im ** 2).mean()))
+
 pytestmark = pytest.mark.slow  # full driver runs, minutes each on 1 core
 
 
-def _run(tmp_path, extra, psnr_floor, views=5, size=24, epochs=250):
+def _run(tmp_path, extra, psnr_floor, views=5, size=24, epochs=250,
+         beat_black_by=2.0):
   argv = [
       "-d", "synth", "--size", str(size), "--num-views", str(views),
       "--epochs", str(epochs), "--near", "2", "--far", "6",
@@ -29,6 +56,10 @@ def _run(tmp_path, extra, psnr_floor, views=5, size=24, epochs=250):
   results = runner.main(argv)
   psnr = results["train"]["psnr_mean"]
   assert psnr > psnr_floor, (psnr, psnr_floor)
+  black = _black_psnr(argv)
+  assert psnr > black + beat_black_by, (
+      f"PSNR {psnr:.2f} does not beat the trivial all-black baseline "
+      f"{black:.2f} by 2 dB — the model learned nothing")
   assert os.path.exists(os.path.join(tmp_path, "train", "results.txt"))
   return psnr
 
@@ -39,9 +70,12 @@ def test_golden_driver_ae(tmp_path):
 
 
 def test_golden_driver_volsdf(tmp_path):
+  # lr 3e-4 (the reference's own volsdf lr, ref makefile:25): at 1e-3 the
+  # SDF density collapses to empty in <50 steps and the run scores the
+  # all-black 12.7 exactly — which the original floor (10.5) "passed"
   _run(tmp_path, ["--data-kind", "synthetic", "--model", "volsdf",
-                  "--sdf-kind", "mlp", "-lr", "1e-3",
-                  "--sigmoid-kind", "upshifted"], psnr_floor=10.5)  # measured 12.7 (r3)
+                  "--sdf-kind", "mlp", "-lr", "3e-4",
+                  "--sigmoid-kind", "upshifted"], psnr_floor=18.0)  # measured 20.5 (r3, black=12.7)
 
 
 def test_golden_driver_dnerf_spline(tmp_path):
@@ -67,7 +101,13 @@ def test_golden_driver_relit(tmp_path):
   # an hour-class run on a 1-core host; occlusion kinds have their own
   # analytic tests (test_relight.py) — this golden pins the lights+BRDF
   # relighting chain through the driver
+  # lr 3e-4: same SDF-collapse mode as the volsdf golden at 1e-3 — the
+  # original run measured 12.1, BELOW this scene's 21.5 all-black level.
+  # The lit scene is shadow-dominated, so the margin over black is
+  # structurally small (the model plateaus ~23.5 by step 200): floor 22
+  # with a 1 dB anti-trivial margin.
   _run(tmp_path, ["--data-kind", "synthetic-lit", "--model", "volsdf",
                   "--sdf-kind", "mlp", "--light-kind", "dataset",
                   "--integrator-kind", "direct", "--refl-kind", "diffuse",
-                  "-lr", "1e-3"], psnr_floor=10.0)  # measured 12.1 (r3)
+                  "-lr", "3e-4"], psnr_floor=22.0,  # measured 23.5 (r3, black=21.5)
+       beat_black_by=1.0)
