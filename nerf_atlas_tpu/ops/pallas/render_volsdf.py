@@ -90,7 +90,7 @@ def _laplace_density_fwd(sdf, s):
 
 
 def _vs_chain_fwd(pts, elaz_p, fb, s, wbs_s, wbs_r, sigmoid_kind,
-                  stash=None):
+                  sphere_init=True, stash=None):
   """The full per-sample VolSDF chain: pts [P, 3] -> (σ [P, 1],
   rgb [P, 3]). `stash` (dict) receives the recompute state for the
   backward kernel."""
@@ -98,9 +98,11 @@ def _vs_chain_fwd(pts, elaz_p, fb, s, wbs_s, wbs_r, sigmoid_kind,
   init_s = jnp.concatenate([pts.astype(jnp.bfloat16), feats], axis=-1)
   s_hs = [] if stash is not None else None
   s_out = _mlp_fwd(init_s, wbs_s, _leaky_act, S_LAYERS, stash=s_hs)
-  pts32 = pts.astype(jnp.float32)
-  sphere = jnp.sqrt(jnp.sum(pts32 * pts32, axis=-1, keepdims=True)) - 1.0
-  sdf = s_out[:, 0:1].astype(jnp.float32) + sphere
+  sdf = s_out[:, 0:1].astype(jnp.float32)
+  if sphere_init:
+    pts32 = pts.astype(jnp.float32)
+    sdf = sdf + (jnp.sqrt(jnp.sum(pts32 * pts32, axis=-1,
+                                  keepdims=True)) - 1.0)
   latent = s_out[:, 1:1 + SDF_LATENT]
 
   sigma, lap_res = _laplace_density_fwd(sdf, s)
@@ -118,7 +120,8 @@ def _vs_chain_fwd(pts, elaz_p, fb, s, wbs_s, wbs_r, sigmoid_kind,
 
 
 def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
-               block_rays, sigmoid_kind="thin", sky_white=False):
+               block_rays, sigmoid_kind="thin", sky_white=False,
+               sphere_init=True):
   """Forward: refs = [scale, SDF wbs, refl wbs, out_ref]."""
   out_ref = refs[-1]
   wrefs = refs[:-1]
@@ -144,7 +147,8 @@ def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
   elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
 
   sigma, rgb = _vs_chain_fwd(pts, elaz_p, fb_ref[...], s, wbs(S_LAYERS),
-                             wbs(R_LAYERS), sigmoid_kind)
+                             wbs(R_LAYERS), sigmoid_kind,
+                             sphere_init=sphere_init)
   weights, _, _, _, _ = _composite_fwd(sigma, r_d, dists_ref[:, :], B, T,
                                        pre_act=True)
   _write_outputs(out_ref, rgb, weights, B, T, sky_white)
@@ -152,7 +156,7 @@ def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
 
 def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
                    *refs, steps, block_rays, sigmoid_kind="thin",
-                   sky_white=False):
+                   sky_white=False, sphere_init=True):
   """refs = (*w_refs, *dw_refs) in `_flatten_params_volsdf` order."""
   wrefs = refs[:N_WS_VS]
   grefs = refs[N_WS_VS:]
@@ -191,7 +195,8 @@ def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
   # ---- forward recompute with stashes ----
   stash = {}
   sigma, rgb = _vs_chain_fwd(pts, elaz_p, fb_ref[...], s, wbs_s, wbs_r,
-                             sigmoid_kind, stash=stash)
+                             sigmoid_kind, sphere_init=sphere_init,
+                             stash=stash)
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
       sigma, r_d, dists_ref[:, :], B, T, pre_act=True)
 
@@ -268,12 +273,14 @@ def _vs_specs(block_rays, ts, dists, steps):
 
 
 def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
-                     interpret, sigmoid_kind="thin", sky_white=False):
+                     interpret, sigmoid_kind="thin", sky_white=False,
+                     sphere_init=True):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_vs_kernel, steps=steps,
                              block_rays=block_rays,
-                             sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                             sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                             sphere_init=sphere_init)
   in_specs = _vs_specs(block_rays, ts, dists, steps)
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -293,12 +300,13 @@ def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
 
 def _vs_backward_call(fb, ws, rays, elaz, ts, dists, g, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
-                      sky_white=False):
+                      sky_white=False, sphere_init=True):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_vs_bwd_kernel, steps=steps,
                              block_rays=block_rays,
-                             sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                             sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                             sphere_init=sphere_init)
   in_specs = _vs_specs(block_rays, ts, dists, steps)
   in_specs.insert(3, pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
@@ -323,13 +331,14 @@ def _vs_backward_call(fb, ws, rays, elaz, ts, dists, g, *, steps,
 
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
                                              "block_rays", "interpret",
-                                             "sigmoid_kind", "sky_kind"))
+                                             "sigmoid_kind", "sky_kind",
+                                             "sphere_init"))
 def fused_volsdf_render(params, rays, *, steps: int = 64,
                         t_near: float = 2.0, t_far: float = 6.0,
                         block_rays: int = RENDER_BLOCK_RAYS,
                         interpret: bool = False,
                         sigmoid_kind: str = "thin",
-                        sky_kind: str = "black"):
+                        sky_kind: str = "black", sphere_init: bool = True):
   """Eval-mode fused VolSDF render: rays [N, 6] -> [N, 4] (rgb ‖ acc)."""
   fb, ws = _flatten_params_volsdf(params)
   ws = _cast_ws(ws)
@@ -340,12 +349,14 @@ def fused_volsdf_render(params, rays, *, steps: int = 64,
   return _vs_forward_call(fb, ws, rays, elaz, ts, dists, steps=steps,
                           block_rays=block_rays, interpret=interpret,
                           sigmoid_kind=sigmoid_kind,
-                          sky_white=sky_kind == "white")
+                          sky_white=sky_kind == "white",
+                          sphere_init=sphere_init)
 
 
 @functools.lru_cache(maxsize=8)
 def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
-                         sigmoid_kind="thin", sky_white=False):
+                         sigmoid_kind="thin", sky_white=False,
+                         sphere_init=True):
   """Custom-VJP fused VolSDF render: (fb, ws, rays, elaz, ts, dists) ->
   [N, 4]; gradients flow to ws only (fb is stop-grad in the oracle)."""
 
@@ -354,7 +365,7 @@ def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
     return _vs_forward_call(fb, _cast_ws(ws), rays, elaz, ts, dists,
                             steps=steps, block_rays=block_rays,
                             interpret=interpret, sigmoid_kind=sigmoid_kind,
-                            sky_white=sky_white)
+                            sky_white=sky_white, sphere_init=sphere_init)
 
   def fwd(fb, ws, rays, elaz, ts, dists):
     return render(fb, ws, rays, elaz, ts, dists), (fb, ws, rays, elaz, ts,
@@ -365,7 +376,7 @@ def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
     dws = _vs_backward_call(fb, _cast_ws(ws), rays, elaz, ts, dists, g,
                             steps=steps, block_rays=bwd_block_rays,
                             interpret=interpret, sigmoid_kind=sigmoid_kind,
-                            sky_white=sky_white)
+                            sky_white=sky_white, sphere_init=sphere_init)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (jnp.zeros_like(fb), dws, jnp.zeros_like(rays),
             jnp.zeros_like(elaz), jnp.zeros_like(ts),
@@ -381,7 +392,8 @@ def fused_volsdf_render_train(params, rays, ts=None, *, steps: int = 64,
                               bwd_block_rays: int = BWD_BLOCK_RAYS,
                               interpret: bool = False,
                               sigmoid_kind: str = "thin",
-                              sky_kind: str = "black"):
+                              sky_kind: str = "black",
+                              sphere_init: bool = True):
   """Differentiable fused VolSDF render: [N, 6] -> [N, 4] with weight
   grads (incl. the learned Laplace scale) via the custom-VJP backward."""
   fb, ws = _flatten_params_volsdf(params)
@@ -392,7 +404,7 @@ def fused_volsdf_render_train(params, rays, ts=None, *, steps: int = 64,
   dists = _dists_base(ts)
   render = _make_diff_vs_render(steps, block_rays, bwd_block_rays,
                                 interpret, sigmoid_kind,
-                                sky_kind == "white")
+                                sky_kind == "white", sphere_init)
   return render(fb, tuple(ws), rays, elaz, ts, dists)
 
 
@@ -401,7 +413,8 @@ def fused_volsdf_render_train_sharded(
     t_near: float = 2.0, t_far: float = 6.0,
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
-    sigmoid_kind: str = "thin", sky_kind: str = "black"):
+    sigmoid_kind: str = "thin", sky_kind: str = "black",
+    sphere_init: bool = True):
   """Multi-chip fused VolSDF training render: rays shard over the mesh's
   data axis, weights replicate, weight cotangents psum over ICI via
   shard_map's transpose. N must be a multiple of mesh.size * block_rays."""
@@ -420,7 +433,7 @@ def fused_volsdf_render_train_sharded(
   dists = _dists_base(ts)
   render = _make_diff_vs_render(steps, block_rays, bwd_block_rays,
                                 interpret, sigmoid_kind,
-                                sky_kind == "white")
+                                sky_kind == "white", sphere_init)
   sig = inspect.signature(shard_map).parameters
   no_check = ({"check_vma": False} if "check_vma" in sig
               else {"check_rep": False})

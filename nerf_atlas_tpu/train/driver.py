@@ -264,12 +264,14 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       # lighting/occlusion and the surface-render alternation stay on
       # the oracle; the eikonal regularizer is rejected by the common
       # gate (it needs autograd SDF normals).
+      sdf_kw = dict(model.sdf_kwargs or {})
+      sphere_init = bool(sdf_kw.pop("sphere_init", True))
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
           or model.occ_kind is not None
           or model.integrator_kind is not None
           or model.light_kind is not None or model.with_normals
           or model.sdf_latent != 32 or model.mip is not None
-          or model.sdf_kwargs or model.refl_kwargs
+          or sdf_kw or model.refl_kwargs
           or cfg.volsdf_alternate or ds.times is not None):
         return None
       from ..ops.pallas.render_volsdf import (
@@ -286,7 +288,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                  perturb=1.0, key=key)[None]
         kw = dict(steps=model.steps, t_near=model.t_near,
                   t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-                  sky_kind=model.sky_kind)
+                  sky_kind=model.sky_kind, sphere_init=sphere_init)
         if mesh is not None:
           return fused_volsdf_render_train_sharded(p, rays, ts, mesh=mesh,
                                                    **kw)
@@ -630,11 +632,13 @@ def _fused_render_fn(model, params):
     if isinstance(model, VolSDF):
       # SDF flagship envelope: default MLP shape + view refl, no
       # secondary lighting (render_volsdf.py)
+      sdf_kw = dict(model.sdf_kwargs or {})
+      sphere_init = bool(sdf_kw.pop("sphere_init", True))
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
           or model.occ_kind is not None
           or model.integrator_kind is not None
           or model.light_kind is not None or model.sdf_latent != 32
-          or model.mip is not None or model.sdf_kwargs
+          or model.mip is not None or sdf_kw
           or model.refl_kwargs or model.latent_size != 0
           or model.sky_kind not in ("black", "white", "random")
           or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
@@ -653,7 +657,7 @@ def _fused_render_fn(model, params):
         out = fused_volsdf_render(
             p, rc, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-            sky_kind=model.sky_kind)
+            sky_kind=model.sky_kind, sphere_init=sphere_init)
         return out[:n, :3]
 
       return vs_fn

@@ -447,6 +447,11 @@ def build_model(args, dynamic: bool):
                   light_kind=("field" if args.light_kind == "field"
                               else None),
                   refl_kwargs=refl_kwargs or None,
+                  # eikonal regularizers read out["eikonal"], which the
+                  # model only emits when it computes normals — without
+                  # this the flags were silent no-ops for view-refl volsdf
+                  with_normals=(args.eikonal_weight > 0
+                                or args.surface_eikonal > 0),
                   sdf_kwargs={"sphere_init": args.sphere_init},
                   occ_kwargs=(
                       {"use_dir": args.all_learned_occ_kind == "pos-elaz"}

@@ -129,6 +129,28 @@ def test_volsdf_surface_render():
   assert np.asarray(out["hits"]).any()
 
 
+def test_eikonal_weight_reaches_the_loss():
+  """--eikonal-weight must actually contribute: it requires the model to
+  compute normals (runner wires with_normals from the flag — without
+  that, out has no 'eikonal' key and the regularizer silently reads 0,
+  which is exactly what happened in rounds 1-3)."""
+  from nerf_atlas_tpu import models
+  from nerf_atlas_tpu.train.regularizers import total_regularizer
+  argv = ["-d", "", "--data-kind", "synthetic", "--model", "volsdf",
+          "--sdf-kind", "mlp", "--eikonal-weight", "0.1"]
+  args = runner.arguments(argv)
+  model = runner.build_model(args, dynamic=False)
+  assert model.with_normals, "--eikonal-weight did not enable normals"
+  rays = jnp.concatenate([jnp.tile(jnp.array([[0., 0., -3.]]), (4, 1)),
+                          jnp.tile(jnp.array([[0., 0., 1.]]), (4, 1))], -1)
+  p = model.init({"params": jax.random.PRNGKey(0),
+                  "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  out = model.apply(p, rays, train=True, rngs={"sampler": jax.random.PRNGKey(2)})
+  assert "eikonal" in out
+  reg = float(total_regularizer(out, {"eikonal": 0.1}))
+  assert reg != 0.0
+
+
 def test_sphere_init_flag():
   from nerf_atlas_tpu.models.sdf import load_sdf_shape
   pts = jnp.array([[2.0, 0.0, 0.0]])

@@ -14,9 +14,9 @@ from nerf_atlas_tpu.ops.pallas.render_volsdf import (
 pytestmark = pytest.mark.slow  # interpret-mode Pallas
 
 
-def _setup(n, steps, seed=0):
+def _setup(n, steps, seed=0, **model_kw):
   model = models.VolSDF(sdf_kind="mlp", refl_kind="view", steps=steps,
-                        t_near=2.0, t_far=6.0)
+                        t_near=2.0, t_far=6.0, **model_kw)
   key = jax.random.PRNGKey(seed)
   r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
   r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
@@ -26,11 +26,14 @@ def _setup(n, steps, seed=0):
   return model, params, rays
 
 
-def test_fused_volsdf_render_matches_oracle():
-  model, params, rays = _setup(64, 16)
+@pytest.mark.parametrize("sphere_init", [True, False])
+def test_fused_volsdf_render_matches_oracle(sphere_init):
+  model, params, rays = _setup(
+      64, 16, sdf_kwargs={"sphere_init": sphere_init})
   oracle = model.apply(params, rays)
   fused = fused_volsdf_render(params, rays, steps=16, t_near=2.0,
-                              t_far=6.0, block_rays=32, interpret=True)
+                              t_far=6.0, block_rays=32, interpret=True,
+                              sphere_init=sphere_init)
   np.testing.assert_allclose(np.asarray(fused[:, :3]),
                              np.asarray(oracle["rgb"]), atol=2e-2)
   acc = oracle["weights"].sum(-1)
