@@ -48,9 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .render import (
     BWD_BLOCK_RAYS, DEFAULT_BLOCK_RAYS, RENDER_BLOCK_RAYS, R_HIDDEN,
     R_LAYERS, _composite_bwd, _composite_fwd, _cos_approx, _dists_base,
-    _dot_exact, _leaky_act, _leaky_grad, _linspace_ts, _mlp_bwd, _mlp_fwd,
-    _rgb_act_grad, _sin30_act, _sin30_grad, _sin_approx, _ts_spec,
-    _write_outputs,
+    _dot, _dot_exact, _dot_nt, _dot_t, _leaky_act, _leaky_grad,
+    _linspace_ts, _mlp_bwd, _mlp_fwd, _rgb_act_grad, _sin30_act,
+    _sin30_grad, _sin_approx, _skip_at, _ts_spec, _write_outputs,
 )
 
 # VolSDF default architecture (models/volsdf.py + models/sdf.py MLP)
@@ -89,6 +89,146 @@ def _laplace_density_fwd(sdf, s):
   return cdf / s, (scaled, e2, cdf)
 
 
+# ---------------------------------------------------------------------------
+# Eikonal: the dual analytic-grad path (SURVEY §7 "hard parts"). The
+# per-sample SDF spatial gradient g = ∇_x sdf is computed IN-KERNEL by a
+# transpose chain through the SDF MLP (the same structure `_mlp_bwd` uses
+# for d_init, without weight accumulation), and the eikonal loss
+# (‖g‖−1)² gets its own hand-derived weight gradients. The key
+# simplification: with leaky-relu activations, act'(h) is piecewise
+# CONSTANT, so ∂act'(h)/∂W = 0 almost everywhere and g is a.e. locally
+# LINEAR in every weight matrix — the "second-order" adjoint is an exact
+# (a.e.) product-rule pass over the transpose chain, with no activation
+# second derivatives. JAX's own grad-of-grad produces the same a.e.
+# values, which is what the oracle-parity test pins.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_input_grad(init_feat, hs, wbs, act_grad, n_layers, hidden,
+                    u_stash=None):
+  """Per-sample ∇ of the SDF-column output w.r.t. the MLP's INPUT.
+
+  Mirrors `_mlp_bwd`'s d_init computation for the fixed cotangent e₀
+  (the sdf output column): u_n = act'(h_n) ⊙ W_out[:, 0]ᵀ, then
+  u_i = act'(h_i) ⊙ (u_{i+1} W_{i+1,h}ᵀ), accumulating
+  d_init += act'(init) ⊙ (u_{i+1} W_{i+1,f}ᵀ) at skip layers and
+  d_init += u_0 W_0ᵀ at the bottom. `hs` is `_mlp_fwd`'s pre-activation
+  stash. `u_stash` (dict i→u_i, plus -1→u_n) optionally retains the
+  chain for the eikonal adjoint. Returns d_init [P, F] f32."""
+  P, F = init_feat.shape
+  w_out = wbs[n_layers + 1][0]                 # [H, O]
+  # e₀ @ W_outᵀ = W_out's first column, broadcast per sample
+  u = w_out[:, 0:1].reshape(1, hidden).astype(jnp.float32) * act_grad(
+      hs[n_layers])
+  if u_stash is not None:
+    u_stash[n_layers] = u
+  d_init = jnp.zeros((P, F), jnp.float32)
+  f_grad = None
+  for i in range(n_layers - 1, -1, -1):
+    w = wbs[i + 1][0]
+    if _skip_at(i, n_layers):
+      if f_grad is None:
+        f_grad = act_grad(init_feat)
+      d_init = d_init + _dot_nt(u, w[hidden:]) * f_grad
+      u = _dot_nt(u, w[:hidden]) * act_grad(hs[i])
+    else:
+      u = _dot_nt(u, w) * act_grad(hs[i])
+    if u_stash is not None:
+      u_stash[i] = u
+  d_init = d_init + _dot_nt(u, wbs[0][0])
+  return d_init
+
+
+def _mlp_input_grad_adjoint(c_init, u_stash, init_feat, hs, wbs, act_grad,
+                            n_layers, hidden):
+  """Weight gradients of L(d_init) given c_init = ∂L/∂d_init.
+
+  Exploits d_init's a.e.-local-linearity in every W (leaky-relu:
+  ∂act'(h)/∂W = 0 a.e., and the act'(h)/act'(init) gate patterns are
+  reused from the value pass): each W_k appears exactly once in the
+  transpose chain, so the product rule is one forward sweep of the
+  cotangent cu up the chain, emitting dW_k = ĉᵀ u_{k+1} rank-updates.
+  Biases get NO eikonal gradient (a.e.). Returns a list of (dW, db)
+  aligned with wbs ((n_layers+2) entries; db entries are zeros-shaped
+  [1, O] to match the accumulation contract)."""
+  grads = [None] * (n_layers + 2)
+  f_grad = act_grad(init_feat)
+
+  # bottom: d_init += u_0 @ W_0ᵀ
+  u0 = u_stash[0]
+  grads[0] = (_dot_t(c_init, u0), jnp.zeros((1, wbs[0][0].shape[1]),
+                                            jnp.float32))
+  cu = _dot(c_init, wbs[0][0])                 # ∂L/∂u_0 [P, H]
+  for i in range(n_layers):
+    w = wbs[i + 1][0]
+    a_i = act_grad(hs[i])
+    c_hat = cu * a_i
+    u_next = u_stash[i + 1]
+    if _skip_at(i, n_layers):
+      cf_hat = c_init * f_grad
+      dw = jnp.concatenate([_dot_t(c_hat, u_next),
+                            _dot_t(cf_hat, u_next)], axis=0)
+      cu = _dot(c_hat, w[:hidden]) + _dot(cf_hat, w[hidden:])
+    else:
+      dw = _dot_t(c_hat, u_next)
+      cu = _dot(c_hat, w)
+    grads[i + 1] = (dw, jnp.zeros((1, w.shape[1]), jnp.float32))
+  # top: u_n = act'(h_n) ⊙ W_out[:, 0]ᵀ → dW_out column 0 only
+  w_out = wbs[n_layers + 1][0]
+  O = w_out.shape[1]
+  cn_hat = cu * act_grad(hs[n_layers])
+  col = jnp.sum(cn_hat, axis=0).reshape(hidden, 1)         # [H, 1]
+  onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (1, O), 1) == 0
+             ).astype(jnp.float32)
+  grads[n_layers + 1] = (col * onehot0,
+                         jnp.zeros((1, O), jnp.float32))
+  return grads
+
+
+def _sdf_grad(pts, fb, init_s, s_hs, wbs_s, sphere_init, u_stash=None):
+  """g = ∇_x sdf [P, 3] f32: transpose chain through the SDF MLP +
+  the fourier-feature jacobian + the sphere-bias gradient x/‖x‖.
+
+  The jacobian matmuls run at exact f32 (`_dot_exact`): 2πB entries
+  reach ~75, where bf16 rounding would perturb g by O(1e-1)."""
+  d_init = _mlp_input_grad(init_s, s_hs, wbs_s, _leaky_grad, S_LAYERS,
+                           S_HIDDEN, u_stash=u_stash)
+  pts32 = pts.astype(jnp.float32)
+  y = _TWO_PI * _dot_exact(pts32, fb.astype(jnp.float32))  # [P, 32]
+  sin_y, cos_y = _sin_approx(y), _cos_approx(y)
+  u_s = d_init[:, 3:3 + S_FREQS]
+  u_c = d_init[:, 3 + S_FREQS:3 + 2 * S_FREQS]
+  g = d_init[:, 0:3] + _TWO_PI * _dot_exact(
+      u_s * cos_y - u_c * sin_y, fb.astype(jnp.float32).T)
+  if sphere_init:
+    nrm = jnp.sqrt(jnp.sum(pts32 * pts32, axis=-1, keepdims=True))
+    g = g + pts32 / jnp.maximum(nrm, 1e-12)
+  return g, (y, sin_y, cos_y)
+
+
+def _sdf_grad_adjoint(c, trig, fb, init_s, s_hs, wbs_s, u_stash):
+  """Weight grads of L(g) given c = ∂L/∂g [P, 3] (the eikonal cotangent).
+
+  Maps c back through the fourier jacobian to c_init = ∂L/∂d_init, then
+  runs the transpose-chain adjoint. The sphere-bias and fourier-jacobian
+  terms carry no weights; fb is stop-grad in the oracle."""
+  y, sin_y, cos_y = trig
+  cB = _TWO_PI * _dot_exact(c, fb.astype(jnp.float32))     # [P, 32]
+  c_init = jnp.concatenate(
+      [c, cB * cos_y, -cB * sin_y], axis=-1)               # [P, 67]
+  return _mlp_input_grad_adjoint(c_init, u_stash, init_s, s_hs, wbs_s,
+                                 _leaky_grad, S_LAYERS, S_HIDDEN)
+
+
+def _eikonal_fwd(g):
+  """Per-sample eikonal residual e = (‖g‖−1)² and its ∂e/∂g."""
+  r = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+  r_safe = jnp.maximum(r, 1e-12)
+  e = (r - 1.0) ** 2
+  de_dg = 2.0 * (r - 1.0) / r_safe * g
+  return e, de_dg
+
+
 def _vs_chain_fwd(pts, elaz_p, fb, s, wbs_s, wbs_r, sigmoid_kind,
                   sphere_init=True, stash=None):
   """The full per-sample VolSDF chain: pts [P, 3] -> (σ [P, 1],
@@ -121,8 +261,10 @@ def _vs_chain_fwd(pts, elaz_p, fb, s, wbs_s, wbs_r, sigmoid_kind,
 
 def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
                block_rays, sigmoid_kind="thin", sky_white=False,
-               sphere_init=True):
-  """Forward: refs = [scale, SDF wbs, refl wbs, out_ref]."""
+               sphere_init=True, want_eikonal=False):
+  """Forward: refs = [scale, SDF wbs, refl wbs, out_ref]. With
+  want_eikonal the output gains a 5th column: the per-ray mean eikonal
+  residual (‖∇_x sdf‖−1)², computed by the in-kernel transpose chain."""
   out_ref = refs[-1]
   wrefs = refs[:-1]
   s = wrefs[0][...]                                       # [1, 1] f32
@@ -146,18 +288,28 @@ def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
   elaz = elaz_ref[:, 0:2]
   elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
 
-  sigma, rgb = _vs_chain_fwd(pts, elaz_p, fb_ref[...], s, wbs(S_LAYERS),
-                             wbs(R_LAYERS), sigmoid_kind,
-                             sphere_init=sphere_init)
+  wbs_s, wbs_r = wbs(S_LAYERS), wbs(R_LAYERS)
+  stash = {} if want_eikonal else None
+  sigma, rgb = _vs_chain_fwd(pts, elaz_p, fb_ref[...], s, wbs_s, wbs_r,
+                             sigmoid_kind, sphere_init=sphere_init,
+                             stash=stash)
   weights, _, _, _, _ = _composite_fwd(sigma, r_d, dists_ref[:, :], B, T,
                                        pre_act=True)
   _write_outputs(out_ref, rgb, weights, B, T, sky_white)
+  if want_eikonal:
+    g, _ = _sdf_grad(pts, fb_ref[...], stash["init_s"], stash["s_hs"],
+                     wbs_s, sphere_init)
+    e, _ = _eikonal_fwd(g)                                # [P, 1]
+    out_ref[:, 4:5] = jnp.mean(e.reshape(B, T), axis=-1, keepdims=True)
 
 
 def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
                    *refs, steps, block_rays, sigmoid_kind="thin",
-                   sky_white=False, sphere_init=True):
-  """refs = (*w_refs, *dw_refs) in `_flatten_params_volsdf` order."""
+                   sky_white=False, sphere_init=True, want_eikonal=False):
+  """refs = (*w_refs, *dw_refs) in `_flatten_params_volsdf` order. With
+  want_eikonal, g_ref carries a 5th column (the per-ray eikonal
+  cotangent) and the SDF weight grads gain the transpose-chain adjoint
+  contributions (`_mlp_input_grad_adjoint`)."""
   wrefs = refs[:N_WS_VS]
   grefs = refs[N_WS_VS:]
   assert len(grefs) == N_WS_VS
@@ -227,6 +379,21 @@ def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
   # fourier B is stop-grad in the oracle; pts are leaves: d_init discarded
   # (the sphere bias ‖p‖−1 likewise only touches pts)
 
+  if want_eikonal:
+    # eikonal adjoint: per-sample cotangent is the per-ray cotangent / T
+    # (the forward emits the per-ray MEAN residual)
+    u_stash = {}
+    g, trig = _sdf_grad(pts, fb_ref[...], stash["init_s"], stash["s_hs"],
+                        wbs_s, sphere_init, u_stash=u_stash)
+    _, de_dg = _eikonal_fwd(g)
+    ce = g_ref[:, 4:5] / float(T)                          # [B, 1]
+    ce_p = jnp.broadcast_to(ce[:, None, :], (B, T, 1)).reshape(P, 1)
+    e_grads = _sdf_grad_adjoint(ce_p * de_dg, trig, fb_ref[...],
+                                stash["init_s"], stash["s_hs"], wbs_s,
+                                u_stash)
+    for k, (dW, db) in enumerate(e_grads):
+      acc(OFF_S, k, dW, db)
+
 
 def _flatten_params_volsdf(params) -> Sequence[jnp.ndarray]:
   """VolSDF param pytree -> (fourier_B, flat ws list) in kernel order.
@@ -274,13 +441,15 @@ def _vs_specs(block_rays, ts, dists, steps):
 
 def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
                      interpret, sigmoid_kind="thin", sky_white=False,
-                     sphere_init=True):
+                     sphere_init=True, want_eikonal=False):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
+  C = 5 if want_eikonal else 4
   kernel = functools.partial(_vs_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             sphere_init=sphere_init)
+                             sphere_init=sphere_init,
+                             want_eikonal=want_eikonal)
   in_specs = _vs_specs(block_rays, ts, dists, steps)
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -289,9 +458,9 @@ def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
       kernel,
       grid=(N // block_rays,),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+      out_specs=pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
@@ -300,15 +469,18 @@ def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
 
 def _vs_backward_call(fb, ws, rays, elaz, ts, dists, g, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
-                      sky_white=False, sphere_init=True):
+                      sky_white=False, sphere_init=True,
+                      want_eikonal=False):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
+  C = 5 if want_eikonal else 4
   kernel = functools.partial(_vs_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             sphere_init=sphere_init)
+                             sphere_init=sphere_init,
+                             want_eikonal=want_eikonal)
   in_specs = _vs_specs(block_rays, ts, dists, steps)
-  in_specs.insert(3, pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+  in_specs.insert(3, pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
   out_specs, out_shapes = [], []
   for w in ws:
@@ -356,7 +528,7 @@ def fused_volsdf_render(params, rays, *, steps: int = 64,
 @functools.lru_cache(maxsize=8)
 def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
                          sigmoid_kind="thin", sky_white=False,
-                         sphere_init=True):
+                         sphere_init=True, want_eikonal=False):
   """Custom-VJP fused VolSDF render: (fb, ws, rays, elaz, ts, dists) ->
   [N, 4]; gradients flow to ws only (fb is stop-grad in the oracle)."""
 
@@ -365,7 +537,8 @@ def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
     return _vs_forward_call(fb, _cast_ws(ws), rays, elaz, ts, dists,
                             steps=steps, block_rays=block_rays,
                             interpret=interpret, sigmoid_kind=sigmoid_kind,
-                            sky_white=sky_white, sphere_init=sphere_init)
+                            sky_white=sky_white, sphere_init=sphere_init,
+                            want_eikonal=want_eikonal)
 
   def fwd(fb, ws, rays, elaz, ts, dists):
     return render(fb, ws, rays, elaz, ts, dists), (fb, ws, rays, elaz, ts,
@@ -376,7 +549,8 @@ def _make_diff_vs_render(steps, block_rays, bwd_block_rays, interpret,
     dws = _vs_backward_call(fb, _cast_ws(ws), rays, elaz, ts, dists, g,
                             steps=steps, block_rays=bwd_block_rays,
                             interpret=interpret, sigmoid_kind=sigmoid_kind,
-                            sky_white=sky_white, sphere_init=sphere_init)
+                            sky_white=sky_white, sphere_init=sphere_init,
+                            want_eikonal=want_eikonal)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (jnp.zeros_like(fb), dws, jnp.zeros_like(rays),
             jnp.zeros_like(elaz), jnp.zeros_like(ts),
@@ -393,7 +567,8 @@ def fused_volsdf_render_train(params, rays, ts=None, *, steps: int = 64,
                               interpret: bool = False,
                               sigmoid_kind: str = "thin",
                               sky_kind: str = "black",
-                              sphere_init: bool = True):
+                              sphere_init: bool = True,
+                              want_eikonal: bool = False):
   """Differentiable fused VolSDF render: [N, 6] -> [N, 4] with weight
   grads (incl. the learned Laplace scale) via the custom-VJP backward."""
   fb, ws = _flatten_params_volsdf(params)
@@ -404,7 +579,8 @@ def fused_volsdf_render_train(params, rays, ts=None, *, steps: int = 64,
   dists = _dists_base(ts)
   render = _make_diff_vs_render(steps, block_rays, bwd_block_rays,
                                 interpret, sigmoid_kind,
-                                sky_kind == "white", sphere_init)
+                                sky_kind == "white", sphere_init,
+                                want_eikonal)
   return render(fb, tuple(ws), rays, elaz, ts, dists)
 
 
@@ -414,7 +590,7 @@ def fused_volsdf_render_train_sharded(
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
     sigmoid_kind: str = "thin", sky_kind: str = "black",
-    sphere_init: bool = True):
+    sphere_init: bool = True, want_eikonal: bool = False):
   """Multi-chip fused VolSDF training render: rays shard over the mesh's
   data axis, weights replicate, weight cotangents psum over ICI via
   shard_map's transpose. N must be a multiple of mesh.size * block_rays."""
@@ -433,7 +609,8 @@ def fused_volsdf_render_train_sharded(
   dists = _dists_base(ts)
   render = _make_diff_vs_render(steps, block_rays, bwd_block_rays,
                                 interpret, sigmoid_kind,
-                                sky_kind == "white", sphere_init)
+                                sky_kind == "white", sphere_init,
+                                want_eikonal)
   sig = inspect.signature(shard_map).parameters
   no_check = ({"check_vma": False} if "check_vma" in sig
               else {"check_rep": False})

@@ -118,8 +118,12 @@ def init_model(model, ds: sampler_lib.RayDataset, seed: int = 0,
                     rays, train=True, **kwargs)
 
 
-def _fused_common_ok(model, cfg, extra_kwargs):
-  """Config constraints shared by the static and dynamic fused gates."""
+def _fused_common_ok(model, cfg, extra_kwargs, allowed_regs=()):
+  """Config constraints shared by the static and dynamic fused gates.
+
+  allowed_regs: out-dict regularizer keys the caller's kernel computes
+  IN-KERNEL (the VolSDF kernel's eikonal column); any other active
+  regularizer still falls back to the oracle."""
   from .regularizers import REGULARIZERS
   from ..ops.pallas.render import FUSED_SIGMOID_KINDS
   return not (
@@ -132,7 +136,8 @@ def _fused_common_ok(model, cfg, extra_kwargs):
       or jax.default_backend() == "cpu"
       or extra_kwargs or cfg.train_camera or cfg.crop_size > 0
       or cfg.batch_size % 64 != 0
-      or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS)
+      or any(cfg.reg_coeffs.get(k) for k in REGULARIZERS
+             if k not in allowed_regs)
       or cfg.omit_bg)  # omit-bg's zeroed-loss gate lives in the oracle
 
 
@@ -145,8 +150,11 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
   evaluate separately). Returns fn(params, rays, times, key) -> [N, 4]
   or None (XLA oracle)."""
   try:
-    from ..models import DynamicNeRF, PlainNeRF
-    if (not _fused_common_ok(model, cfg, extra_kwargs)
+    from ..models import DynamicNeRF, PlainNeRF, VolSDF
+    # the VolSDF kernel computes the eikonal residual in-kernel (its
+    # dual analytic-grad path) — that one regularizer stays fused
+    allowed = ("eikonal",) if isinstance(model, VolSDF) else ()
+    if (not _fused_common_ok(model, cfg, extra_kwargs, allowed_regs=allowed)
         or getattr(ds, "lights", None) is not None):
       return None
     from ..ops import rays as rays_ops
@@ -256,20 +264,21 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
 
       return fn
 
-    from ..models import VolSDF
     if isinstance(model, VolSDF):
       # SDF flagship (reference src/nerf.py:861-1018, makefile volsdf
       # recipe): fourier → SDF MLP → Laplace density (learned scale) →
-      # view refl, all fused (ops/pallas/render_volsdf.py). Secondary
-      # lighting/occlusion and the surface-render alternation stay on
-      # the oracle; the eikonal regularizer is rejected by the common
-      # gate (it needs autograd SDF normals).
+      # view refl, all fused (ops/pallas/render_volsdf.py). The eikonal
+      # regularizer runs IN-KERNEL (per-ray residual column + the
+      # transpose-chain adjoint); secondary lighting/occlusion and the
+      # surface-render alternation stay on the oracle.
       sdf_kw = dict(model.sdf_kwargs or {})
       sphere_init = bool(sdf_kw.pop("sphere_init", True))
+      want_eik = bool(cfg.reg_coeffs.get("eikonal"))
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
           or model.occ_kind is not None
           or model.integrator_kind is not None
-          or model.light_kind is not None or model.with_normals
+          or model.light_kind is not None
+          or (model.with_normals and not want_eik)
           or model.sdf_latent != 32 or model.mip is not None
           or sdf_kw or model.refl_kwargs
           or cfg.volsdf_alternate or ds.times is not None):
@@ -288,7 +297,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                  perturb=1.0, key=key)[None]
         kw = dict(steps=model.steps, t_near=model.t_near,
                   t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-                  sky_kind=model.sky_kind, sphere_init=sphere_init)
+                  sky_kind=model.sky_kind, sphere_init=sphere_init,
+                  want_eikonal=want_eik)
         if mesh is not None:
           return fused_volsdf_render_train_sharded(p, rays, ts, mesh=mesh,
                                                    **kw)
@@ -390,6 +400,9 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
           main = loss_fn(out[:, :3], pix)
         reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
                                  smooth_opts)
+        if not isinstance(out, tuple) and out.shape[-1] == 5:
+          # in-kernel eikonal column (fused VolSDF): per-ray mean residual
+          reg = reg + cfg.reg_coeffs["eikonal"] * jnp.mean(out[:, 4])
         return main + reg, main
       kwargs = dict(extra)
       if t is not None:

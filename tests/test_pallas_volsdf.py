@@ -95,6 +95,106 @@ def test_fused_volsdf_grad_matches_oracle():
   assert scale_path, "density_scale missing from fused grads"
 
 
+def test_fused_volsdf_eikonal_grad_matches_oracle():
+  """The in-kernel eikonal (dual analytic-grad path, SURVEY §7 hard
+  part): forward residual parity AND the weight gradients of the
+  eikonal loss term — which the oracle computes by grad-of-grad through
+  the SDF MLP — must match the hand-derived transpose-chain adjoint.
+  leaky-relu makes the adjoint exact a.e. (no activation second
+  derivatives)."""
+  model, params, rays = _setup(32, 16, seed=7, with_normals=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+  LAM = 0.1
+
+  def loss_fused(p):
+    out = fused_volsdf_render_train(p, rays, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True,
+                                    want_eikonal=True)
+    assert out.shape[-1] == 5
+    return (jnp.mean((out[:, :3] - target) ** 2)
+            + LAM * jnp.mean(out[:, 4]))
+
+  def loss_oracle(p):
+    out = model.apply(p, rays)
+    return (jnp.mean((out["rgb"] - target) ** 2)
+            + LAM * out["eikonal"])
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  num, den = 0.0, 0.0
+  for path, g_fused in flat_f:
+    key = jax.tree_util.keystr(path)
+    gf_n = np.asarray(g_fused, np.float64)
+    go_n = np.asarray(flat_o[path], np.float64)
+    if "FourierEncoder" in key:
+      assert np.linalg.norm(gf_n) == 0.0 and np.linalg.norm(go_n) == 0.0
+      continue
+    num += np.sum((gf_n - go_n) ** 2)
+    den += np.sum(go_n ** 2)
+    if np.linalg.norm(go_n) < 1e-12:
+      assert np.linalg.norm(gf_n) < 1e-6, key
+      continue
+    cos = (gf_n * go_n).sum() / max(
+        np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
+    assert cos > 0.95, (key, cos)
+  assert np.sqrt(num / den) < 0.07, np.sqrt(num / den)
+
+  # the eikonal term must actually move the SDF weights: zeroing it
+  # changes the shape-MLP gradient direction
+  def loss_fused_nolam(p):
+    out = fused_volsdf_render_train(p, rays, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True,
+                                    want_eikonal=True)
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  g0 = jax.grad(loss_fused_nolam)(params)
+  diff = False
+  flat_0 = dict(jax.tree_util.tree_leaves_with_path(g0))
+  for path, g_fused in flat_f:
+    if "shape" in jax.tree_util.keystr(path) and "kernel" in \
+        jax.tree_util.keystr(path):
+      if not np.allclose(np.asarray(g_fused), np.asarray(flat_0[path])):
+        diff = True
+  assert diff, "eikonal cotangent did not reach the SDF weights"
+
+
+def test_fused_volsdf_train_gate(monkeypatch):
+  """Driver gate logic (backend mocked to 'tpu'): the default volsdf
+  recipe engages the fused path, the eikonal regularizer stays fused
+  (in-kernel column), any OTHER active regularizer falls back to the
+  oracle, and CLI-shaped sdf_kwargs={'sphere_init': ...} is accepted."""
+  from nerf_atlas_tpu.train import driver as driver_lib
+  from nerf_atlas_tpu.data import sampler as sampler_lib
+  from nerf_atlas_tpu.data import cameras as cam_lib
+  from nerf_atlas_tpu.data.synthetic import hemisphere_poses
+
+  monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+  model, params, rays = _setup(
+      16, 8, with_normals=True, sdf_kwargs={"sphere_init": True})
+  poses = hemisphere_poses(3, seed=0)
+  cam = cam_lib.NeRFCamera.from_json_transforms(poses, 0.69, 8)
+  pix = jnp.zeros((3, 8, 8, 3))
+  ds = sampler_lib.RayDataset(pixels=pix, camera=cam, times=None, size=8)
+
+  def gate(**cfg_kw):
+    cfg = driver_lib.TrainConfig(batch_size=128, **cfg_kw)
+    return driver_lib._fused_train_fn(model, cfg, ds, None, params,
+                                      None) is not None
+
+  assert gate(reg_coeffs={"eikonal": 0.1}), "eikonal must stay fused"
+  assert not gate(reg_coeffs={"eikonal": 0.1, "surface_eikonal": 0.1}), (
+      "other regularizers must fall back to the oracle")
+  model_no_norm, params, rays = _setup(16, 8)
+  model = model_no_norm
+  assert gate(), "default volsdf recipe must engage the fused path"
+
+
 def test_fused_volsdf_sharded_grad_matches_single():
   """shard_map multi-chip fused VolSDF path: psum'ed weight cotangents
   (incl. the scalar scale) match the single-shard kernel (8-device
