@@ -152,8 +152,9 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
   try:
     from ..models import DynamicNeRF, PlainNeRF, VolSDF
     # the VolSDF kernel computes the eikonal residual in-kernel (its
-    # dual analytic-grad path) — that one regularizer stays fused
-    allowed = ("eikonal",) if isinstance(model, VolSDF) else ()
+    # dual analytic-grad path); volsdf_scale reads only the learned
+    # scale PARAM, recomputed from the pytree in the fused loss below
+    allowed = ("eikonal", "volsdf_scale") if isinstance(model, VolSDF) else ()
     if (not _fused_common_ok(model, cfg, extra_kwargs, allowed_regs=allowed)
         or getattr(ds, "lights", None) is not None):
       return None
@@ -403,6 +404,11 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         if not isinstance(out, tuple) and out.shape[-1] == 5:
           # in-kernel eikonal column (fused VolSDF): per-ray mean residual
           reg = reg + cfg.reg_coeffs["eikonal"] * jnp.mean(out[:, 4])
+        if cfg.reg_coeffs.get("volsdf_scale"):
+          # fused VolSDF: the scale anneal reads only the learned param
+          reg = reg + cfg.reg_coeffs["volsdf_scale"] * (
+              jax.nn.softplus(model_params["params"]["density_scale"])
+              + 1e-4)
         return main + reg, main
       kwargs = dict(extra)
       if t is not None:

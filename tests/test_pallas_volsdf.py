@@ -188,6 +188,8 @@ def test_fused_volsdf_train_gate(monkeypatch):
                                       None) is not None
 
   assert gate(reg_coeffs={"eikonal": 0.1}), "eikonal must stay fused"
+  assert gate(reg_coeffs={"eikonal": 0.1, "volsdf_scale": 1e-5}), (
+      "the scale anneal reads only the param — must stay fused")
   assert not gate(reg_coeffs={"eikonal": 0.1, "surface_eikonal": 0.1}), (
       "other regularizers must fall back to the oracle")
   model_no_norm, params, rays = _setup(16, 8)
