@@ -19,7 +19,7 @@ import math
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +65,9 @@ class TrainConfig:
   style_weight: float = 0.0
   inc_fourier_freqs: bool = False   # grow Fourier feature freqs per step
   inc_fourier_rate: float = 1.0005
-  train_only: Optional[str] = None  # restrict updates to params whose
-                                    # path contains this (e.g. "refl")
+  train_only: Optional[Tuple[str, ...]] = None  # restrict updates to
+                                    # params whose path contains ANY of
+                                    # these substrings (e.g. ("refl","occ"))
   alt_train: int = 0           # >0: alternate analytic/learned refl
                                # training every N steps (--alt-train)
   weight_decay: float = 0.0    # --decay (reference runner.py:88,456)
@@ -466,11 +467,15 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
     (loss, main), grads = jax.value_and_grad(compute_loss,
                                              has_aux=True)(params)
     if cfg.train_only:
-      # --train-parts refl analog (reference runner.py:1266-1280): only
-      # the selected parameter group receives gradient
+      # --train-parts refl/occ/path-tf analog (reference
+      # runner.py:1266-1280): only the selected parameter groups
+      # receive gradient
+      keys = ((cfg.train_only,) if isinstance(cfg.train_only, str)
+              else tuple(cfg.train_only))
       grads = jax.tree_util.tree_map_with_path(
-          lambda path, g: g if cfg.train_only in
-          jax.tree_util.keystr(path) else jnp.zeros_like(g), grads)
+          lambda path, g: g if any(
+              k in jax.tree_util.keystr(path) for k in keys)
+          else jnp.zeros_like(g), grads)
     if cfg.freeze_substr:
       # --fix-canon: the preloaded canonical stays frozen
       grads = jax.tree_util.tree_map_with_path(

@@ -89,8 +89,12 @@ def arguments(argv=None):
   a.add_argument("--spline", type=int, default=0,
                  help="spline control points for dynamic models (0=direct)")
   a.add_argument("--long-vid-segments", type=int, default=4)
-  a.add_argument("--long-vid-progressive-train", action="store_true",
-                 help="train time windows sequentially (per-segment)")
+  a.add_argument("--long-vid-progressive-train", type=int, nargs="?",
+                 const=-1, default=0,
+                 help="train time chunks sequentially; the optional int "
+                      "is the chunk count (reference runner.py:322-325), "
+                      "bare flag defers to --long-vid-segments/"
+                      "--long-vid-chunk-len-sec")
   a.add_argument("--neural-upsample", action="store_true",
                  help="render low-res and neurally upsample")
   a.add_argument("--upsample-low-res", type=int, default=16)
@@ -384,8 +388,11 @@ def arguments(argv=None):
   a.add_argument("--param-file", default=None,
                  help="JSON hyper-parameter file (overrides defaults)")
   a.add_argument("--train-parts", nargs="+", default=["all"],
-                 choices=["all", "camera", "refl"],
-                 help="which parameter groups to optimize")
+                 choices=["all", "camera", "refl", "occ", "path-tf"],
+                 help="which parameter groups to optimize (reference "
+                      "runner.py:94-97; path-tf selects the refl group — "
+                      "in this design the one-bounce transfer folds "
+                      "through the BRDF itself, models/volsdf.py)")
   a.add_argument("--profile-dir", default=None,
                  help="capture a jax.profiler trace of the train loop")
   a.add_argument("--loss-window", type=int, default=50,
@@ -647,6 +654,20 @@ def _slice_views(ds, n: int):
 
 
 
+def _train_only_substrings(train_parts):
+  """--train-parts → param-path substrings whose grads stay live
+  (reference runner.py:1266-1280). "all" disables masking; "camera" is
+  handled separately (train_camera); "path-tf" maps to the refl group
+  because the one-bounce transfer folds through the BRDF itself
+  (models/volsdf.py:_one_bounce)."""
+  if "all" in train_parts:
+    return None
+  keys = tuple(sorted({
+      {"refl": "refl", "occ": "occ", "path-tf": "refl"}[p]
+      for p in train_parts if p not in ("camera",)}))
+  return keys or None
+
+
 def make_train_config(args):
   """Resolve parsed flags into the immutable TrainConfig (the
   flag→behavior contract tested in tests/test_flags_behavior.py)."""
@@ -704,8 +725,7 @@ def make_train_config(args):
       save_path=args.save or os.path.join(args.outdir, "model.ckpt"),
       duration_sec=args.duration_sec,
       train_camera="camera" in args.train_parts,
-      train_only=("refl" if ("refl" in args.train_parts
-                             and "all" not in args.train_parts) else None),
+      train_only=_train_only_substrings(args.train_parts),
       profile_dir=args.profile_dir,
       save_load_opt=args.save_load_opt,
       alt_train=args.alt_train,
@@ -828,7 +848,9 @@ def main(argv=None):
       print(f"step {m['step']:6d}  loss {m['loss']:.5f}  "
             f"psnr {psnr:.2f}{extra_txt}  ({time.time() - t0:.0f}s)")
     if args.long_vid_progressive_train and dynamic:
-      segments = args.long_vid_segments
+      segments = (args.long_vid_progressive_train
+                  if args.long_vid_progressive_train > 0
+                  else args.long_vid_segments)
       if args.long_vid_chunk_len_sec:
         # chunk length in seconds over the loaded window
         span = ((args.end_sec - args.start_sec)

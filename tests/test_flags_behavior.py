@@ -3,6 +3,8 @@ parsed as real argv and asserted to CHANGE the resolved TrainConfig or
 the constructed model — not merely to appear in the source. The regex
 test in test_flags.py remains as a hygiene check; this is the coverage.
 """
+import os
+
 import pytest
 
 import runner
@@ -44,7 +46,10 @@ CFG_CASES = [
     (["--save", "/tmp/x.ckpt"], "save_path", "/tmp/x.ckpt"),
     (["--duration-sec", "5"], "duration_sec", 5),
     (["--train-parts", "camera"], "train_camera", True),
-    (["--train-parts", "refl"], "train_only", "refl"),
+    (["--train-parts", "refl"], "train_only", ("refl",)),
+    (["--train-parts", "refl", "occ"], "train_only", ("occ", "refl")),
+    (["--train-parts", "path-tf"], "train_only", ("refl",)),
+    (["--train-parts", "occ", "camera"], "train_only", ("occ",)),
     (["--profile-dir", "/tmp/prof"], "profile_dir", "/tmp/prof"),
     (["--save-load-opt"], "save_load_opt", True),
     (["--alt-train", "100"], "alt_train", 100),
@@ -149,3 +154,49 @@ def test_flag_changes_dyn_model(argv, attr, expected):
   args = runner.arguments(argv)
   model = runner.build_model(args, dynamic=True)
   assert getattr(model, attr) == expected
+
+def _makefile_runner_recipes():
+  """Every `runner.py` invocation in the makefile, with make variables
+  substituted — the reference's recipes are its de-facto workload docs
+  (SURVEY §4), so each must at least parse against this CLI."""
+  import re
+  import shlex
+  path = os.path.join(os.path.dirname(__file__), "..", "makefile")
+  with open(path) as f:
+    text = f.read()
+  text = text.replace("\\\n", " ")
+  subs = {"PY": "python", "dnerf_dataset": "bouncingballs",
+          "scan_number": "83", "nerv_dataset": "armadillo",
+          "nerfactor_ds": "pinecone"}
+  text = re.sub(r"\$\((\w+)\)", lambda m: subs.get(m.group(1), ""), text)
+  target = None
+  out = []
+  for line in text.splitlines():
+    m = re.match(r"^([a-zA-Z0-9_-]+):", line)
+    if m:
+      target = m.group(1)
+    if (line.startswith("\t") and "runner.py" in line
+        and not line.lstrip().startswith("#")):
+      argv = shlex.split(line.split("runner.py", 1)[1])
+      out.append((target, argv))
+  return out
+
+
+_RECIPES = _makefile_runner_recipes()
+
+
+def test_makefile_has_reference_recipe_surface():
+  # the reference ships ~50 canned experiments; ours must carry them all
+  assert len(_RECIPES) >= 50, len(_RECIPES)
+
+
+@pytest.mark.parametrize(
+    "target,argv", _RECIPES,
+    ids=[f"{t}:{i}" for i, (t, _) in enumerate(_RECIPES)])
+def test_makefile_recipe_parses(target, argv):
+  try:
+    args = runner.arguments(argv)
+  except SystemExit as e:
+    pytest.fail(f"make target '{target}' does not parse: {argv} ({e})")
+  # every recipe must also resolve to a buildable TrainConfig
+  runner.make_train_config(args)

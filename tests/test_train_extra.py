@@ -90,3 +90,31 @@ def test_monte_carlo_uncertainty():
   mean, std = m.apply(params, x, rngs={"sampler": jax.random.PRNGKey(2)})
   assert mean.shape == (8, 2) and std.shape == (8, 2)
   assert float(std.mean()) > 0  # stochastic passes disagree
+
+
+def test_train_only_masks_param_groups():
+  """--train-parts refl occ (reference runner.py:1266-1280): only the
+  refl and occ groups update; the SDF shape stays frozen."""
+  bundle = loaders.synthetic_spheres(size=16, num_views=4)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.VolSDF(sdf_kind="mlp", refl_kind="diffuse",
+                        light_kind="field", occ_kind="learned",
+                        integrator_kind="direct",
+                        steps=8, t_near=1.5, t_far=4.5)
+  cfg = driver.TrainConfig(steps=3, batch_size=128, log_freq=2,
+                           save_freq=0, train_only=("refl", "occ"))
+  params, _, _ = driver.train(model, ds, cfg)
+  rays, _, _ = ds.sample_rays(jax.random.PRNGKey(0), 128)
+  init = model.init({"params": jax.random.PRNGKey(0),
+                     "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  moved = frozen = 0
+  for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+    p_str = jax.tree_util.keystr(path)
+    before = dict(jax.tree_util.tree_leaves_with_path(init))[path]
+    changed = bool(np.any(np.asarray(leaf) != np.asarray(before)))
+    if "refl" in p_str or "occ" in p_str:
+      moved += changed
+    else:
+      assert not changed, f"{p_str} moved despite train_only"
+      frozen += 1
+  assert moved > 0 and frozen > 0
