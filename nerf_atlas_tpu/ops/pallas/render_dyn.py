@@ -10,6 +10,13 @@ all inside one pallas_call per ray block.
         → canonical: CP encode → density MLP → view-refl MLP
         → α-composite → rgb ‖ acc
 
+Spline-NeRF mode (spline_points=S>=2, the reference repo's paper model,
+src/nerf.py:1240-1263): the warp MLP sees x only and emits 3(S-1) Bezier
+control points (P_0 pinned to 0); Δx = de Casteljau at per-ray t. The
+combine is linear in the control points, so the backward scatters the
+Δx cotangent into each control slot scaled by its Bernstein weight —
+exactly the adjoint of the forward's repeated lerp.
+
 Backward (custom VJP, recompute-in-VMEM like the static kernel) also
 differentiates THROUGH the warp: the canonical chain's position
 cotangent flows along three paths — the CP hat basis (piecewise-linear
@@ -18,8 +25,8 @@ position columns — into d(Δx), then through the rigidity gate and the
 warp MLP weight gradients. The warp's Fourier basis is stop_gradient in
 the oracle (nn/encoders.py FourierEncoder), so it gets a zero cotangent.
 
-Oracle: models.DynamicNeRF(canonical PlainNeRF-CP, spline_points=0);
-parity in tests/test_pallas_dyn.py (interpret mode).
+Oracle: models.DynamicNeRF(canonical PlainNeRF-CP, spline_points=0 or
+S>=2); parity for both modes in tests/test_pallas_dyn.py (interpret).
 """
 from __future__ import annotations
 
@@ -71,18 +78,67 @@ def _fourier_feats(x, basis):
       [_sin_approx(mapped), _cos_approx(mapped)], axis=-1)
 
 
-def _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=None):
+def _bernstein_weights(t, n):
+  """B_{j,n}(t) = C(n,j) t^j (1-t)^{n-j} for j = 1..n as [P,1] f32 arrays.
+
+  The spline combine Σ_j B_j·ctrl_j is the SAME linear map de Casteljau
+  evaluates, so these weights give the exact adjoint of the forward's
+  repeated-lerp form (ops/bezier.de_casteljau)."""
+  t = t.astype(jnp.float32)
+  om = 1.0 - t
+  tp = [t]
+  op = [om]
+  for _ in range(n - 1):
+    tp.append(tp[-1] * t)
+    op.append(op[-1] * om)
+  out = []
+  for j in range(1, n + 1):
+    c = float(math.comb(n, j))
+    w = c * tp[j - 1]
+    if n - j > 0:
+      w = w * op[n - j - 1]
+    out.append(w)
+  return out
+
+
+def _spline_eval(warp_out, t_col, spline_points):
+  """Bezier Δx from warp control points: warp_out [P, 3(S-1)] holds
+  P_1..P_{S-1} (P_0 pinned to 0, models/dyn.py:76-87); de Casteljau
+  repeated lerp at per-sample t — the oracle's exact form."""
+  n = spline_points - 1
+  t = t_col.astype(jnp.float32)
+  cur = [jnp.zeros_like(warp_out[:, 0:3], dtype=jnp.float32)]
+  cur += [warp_out[:, 3 * j:3 * j + 3].astype(jnp.float32)
+          for j in range(n)]
+  for _ in range(n):
+    cur = [(1.0 - t) * cur[j] + t * cur[j + 1] for j in range(len(cur) - 1)]
+  return cur[0]
+
+
+def _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=None,
+              spline_points=0):
   """Δx and gate at (pts [P,3], t [P,1]) -> (dp [P,3], gate [P,1]).
 
+  spline_points=0: direct D-NeRF Δx(x, t). spline_points=S>=2:
+  Spline-NeRF — the warp MLP sees x only and emits 3(S-1) Bezier control
+  points, evaluated at t (models/dyn.py:69-88).
+
   `stash`, when given, is a dict receiving the MLP pre-activation chains
-  plus init_w/gate/warp_out for the backward kernel's recompute.
+  plus init_w/gate/warp_out/spl for the backward kernel's recompute.
   """
-  x4 = jnp.concatenate([pts, t_col], axis=-1)
-  fenc = _fourier_feats(x4, basis)
-  init_w = jnp.concatenate([x4.astype(jnp.bfloat16),
+  if spline_points:
+    x_in = pts
+  else:
+    x_in = jnp.concatenate([pts, t_col], axis=-1)
+  fenc = _fourier_feats(x_in, basis)
+  init_w = jnp.concatenate([x_in.astype(jnp.bfloat16),
                             fenc.astype(jnp.bfloat16)], axis=-1)
   w_stash = [] if stash is not None else None
   warp_out = _mlp_fwd(init_w, wbs_w, _leaky_act, W_LAYERS, stash=w_stash)
+  if spline_points:
+    spl = _spline_eval(warp_out, t_col, spline_points)
+  else:
+    spl = warp_out
   g_stash = [] if stash is not None else None
   rig_out = _mlp_fwd(pts.astype(jnp.bfloat16), wbs_g, _leaky_act, G_LAYERS,
                      stash=g_stash)
@@ -93,11 +149,13 @@ def _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=None):
     stash["init_w"] = init_w
     stash["gate"] = gate
     stash["warp_out"] = warp_out
-  return warp_out * gate, gate
+    stash["spl"] = spl
+  return spl * gate, gate
 
 
 def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
-                steps, block_rays, sigmoid_kind="thin", sky_white=False):
+                steps, block_rays, sigmoid_kind="thin", sky_white=False,
+                spline_points=0):
   """Forward: refs = [fourier_B, warp wbs, rigidity wbs, packed CP,
   density wbs, refl wbs, out_ref]."""
   out_ref = refs[-1]
@@ -125,7 +183,8 @@ def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
   def wbs(n_layers):
     return [(next_w()[...], next_w()[...]) for _ in range(n_layers + 2)]
 
-  dp, _ = _warp_fwd(pts, t_col, basis, wbs(W_LAYERS), wbs(G_LAYERS))
+  dp, _ = _warp_fwd(pts, t_col, basis, wbs(W_LAYERS), wbs(G_LAYERS),
+                    spline_points=spline_points)
   warped = pts + dp
 
   pw = next_w()[...]
@@ -154,7 +213,7 @@ N_WS_DYN = (1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
 
 def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
                     packed_ref, *refs, steps, block_rays,
-                    sigmoid_kind="thin", sky_white=False):
+                    sigmoid_kind="thin", sky_white=False, spline_points=0):
   """refs = (*w_refs, *dw_refs) in `_flatten_params_dyn` order; packed_ref
   is the packed CP block-diagonal (per-level grads still scatter to the
   per-level grefs)."""
@@ -201,7 +260,8 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
 
   # ---- forward recompute with stashes ----
   wstash = {}
-  dp, gate = _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=wstash)
+  dp, gate = _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=wstash,
+                       spline_points=spline_points)
   warped = pts + dp
 
   pw = packed_ref[...]
@@ -256,10 +316,18 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
   d_warped = d_warped + d_pts_cp
 
   # ---- backward: warp + rigidity (d_dp = d_warped; pts are leaves) ----
-  warp_out = wstash["warp_out"]
-  d_warp_out = d_warped * gate                            # [P, 3]
-  dgate = jnp.sum(d_warped * warp_out, axis=-1, keepdims=True)
+  spl = wstash["spl"]
+  d_spl = d_warped * gate                                 # [P, 3]
+  dgate = jnp.sum(d_warped * spl, axis=-1, keepdims=True)
   drig = dgate * gate * (1.0 - gate)                      # σ' = σ(1-σ)
+  if spline_points:
+    # the spline combine is linear in the control points: the adjoint
+    # scatters d_spl into each control slot scaled by its Bernstein
+    # weight (exactly de Casteljau's linear map; P_0 is pinned -> no slot)
+    bw = _bernstein_weights(t_col, spline_points - 1)
+    d_warp_out = jnp.concatenate([b * d_spl for b in bw], axis=-1)
+  else:
+    d_warp_out = d_spl
 
   _, w_grads = _mlp_bwd(d_warp_out.astype(jnp.float32), wstash["warp"],
                         wstash["init_w"], wbs_w, _leaky_act, _leaky_grad,
@@ -316,7 +384,7 @@ def _common_specs(block_rays, steps):
 
 def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
-                      sky_white=False):
+                      sky_white=False, spline_points=0):
   # CP lines pre-packed for the forward (indices OFF_L..OFF_L+3 of the
   # flat list collapse into one block-diagonal tensor)
   OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
@@ -327,7 +395,8 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_dyn_kernel, steps=steps,
                              block_rays=block_rays,
-                             sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                             sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                             spline_points=spline_points)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   for w in ws:
@@ -349,7 +418,7 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
 
 def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
                        block_rays, interpret, sigmoid_kind="thin",
-                       sky_white=False):
+                       sky_white=False, spline_points=0):
   OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
   L = len(CP_RESOLUTIONS)
   packed = _pack_lines(ws[OFF_L:OFF_L + L])
@@ -357,7 +426,8 @@ def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_dyn_bwd_kernel, steps=steps,
                              block_rays=block_rays,
-                             sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                             sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                             spline_points=spline_points)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   # g slots in after times (kernel arg order: rays, elaz, times, g, ts,
@@ -394,13 +464,15 @@ def _cast_ws(ws):
 
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
                                              "block_rays", "interpret",
-                                             "sigmoid_kind", "sky_kind"))
+                                             "sigmoid_kind", "sky_kind",
+                                             "spline_points"))
 def fused_dyn_cp_render(params, rays, times, *, steps: int = 64,
                         t_near: float = 2.0, t_far: float = 6.0,
                         block_rays: int = DEFAULT_BLOCK_RAYS,
                         interpret: bool = False,
                         sigmoid_kind: str = "thin",
-                        sky_kind: str = "black"):
+                        sky_kind: str = "black",
+                        spline_points: int = 0):
   """Eval-mode fused D-NeRF render: rays [N, 6] + times [N] -> [N, 4]."""
   ws = _cast_ws(_flatten_params_dyn(params))
   from ...ops.math import dir_to_elev_azim
@@ -410,12 +482,14 @@ def fused_dyn_cp_render(params, rays, times, *, steps: int = 64,
   return _dyn_forward_call(ws, rays, elaz, times[:, None], ts, dists,
                            steps=steps, block_rays=block_rays,
                            interpret=interpret, sigmoid_kind=sigmoid_kind,
-                           sky_white=sky_kind == "white")
+                           sky_white=sky_kind == "white",
+                           spline_points=spline_points)
 
 
 @functools.lru_cache(maxsize=8)
 def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
-                          sigmoid_kind="thin", sky_white=False):
+                          sigmoid_kind="thin", sky_white=False,
+                          spline_points=0):
   """Custom-VJP fused D-NeRF render: (ws, rays, elaz, times, ts, dists)
   -> [N, 4]; gradients flow to the weights (incl. warp + rigidity)."""
 
@@ -425,7 +499,8 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              steps=steps, block_rays=block_rays,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
-                             sky_white=sky_white)
+                             sky_white=sky_white,
+                             spline_points=spline_points)
 
   def fwd(ws, rays, elaz, times, ts, dists):
     return render(ws, rays, elaz, times, ts, dists), (ws, rays, elaz,
@@ -437,7 +512,8 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              steps=steps, block_rays=bwd_block_rays,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
-                             sky_white=sky_white)
+                             sky_white=sky_white,
+                             spline_points=spline_points)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
             jnp.zeros_like(times), jnp.zeros_like(ts),
@@ -454,7 +530,8 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
                               bwd_block_rays: int = BWD_BLOCK_RAYS,
                               interpret: bool = False,
                               sigmoid_kind: str = "thin",
-                              sky_kind: str = "black"):
+                              sky_kind: str = "black",
+                              spline_points: int = 0):
   """Differentiable fused D-NeRF render: rays [N, 6] + times [N] -> [N, 4]
   with gradients w.r.t. `params` via the custom-VJP backward kernel."""
   ws = tuple(_flatten_params_dyn(params))
@@ -465,7 +542,7 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
   dists = _dists_base(ts)
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
-                                 sky_kind == "white")
+                                 sky_kind == "white", spline_points)
   return render(ws, rays, elaz, times[:, None], ts, dists)
 
 
@@ -474,7 +551,8 @@ def fused_dyn_cp_render_train_sharded(
     steps: int = 64, t_near: float = 2.0, t_far: float = 6.0,
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
-    sigmoid_kind: str = "thin", sky_kind: str = "black"):
+    sigmoid_kind: str = "thin", sky_kind: str = "black",
+    spline_points: int = 0):
   """Multi-chip fused D-NeRF training render: rays + times shard over the
   mesh's data axis, weights replicate, weight cotangents psum over ICI
   via shard_map's transpose (same pattern as the static
@@ -494,7 +572,7 @@ def fused_dyn_cp_render_train_sharded(
   dists = _dists_base(ts)
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
-                                 sky_kind == "white")
+                                 sky_kind == "white", spline_points)
 
   import inspect
   sig = inspect.signature(shard_map).parameters

@@ -310,14 +310,17 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
 
     if isinstance(model, DynamicNeRF):
       # D-NeRF flagship (reference src/nerf.py:1209-1319): direct Δx warp
-      # + rigidity gate over the canonical PlainNeRF-cp chain. The fused
-      # kernel hardcodes the default canonical architecture, so any
-      # canonical_kwargs beyond enc_kind="cp" fall back to the oracle.
+      # (spline_points=0) or Spline-NeRF Bezier warp (spline_points>=2,
+      # the reference repo's paper model) + rigidity gate over the
+      # canonical PlainNeRF-cp chain. The fused kernel hardcodes the
+      # default canonical architecture, so any canonical_kwargs beyond
+      # enc_kind="cp" fall back to the oracle.
       ck = dict(model.canonical_kwargs or {})
       allowed = {"enc_kind", "refl_kind", "steps", "t_near", "t_far",
                  "sky_kind", "sigmoid_kind"}
       if (model.mip is not None
-          or model.canonical_kind != "plain" or model.spline_points != 0
+          or model.canonical_kind != "plain"
+          or model.spline_points == 1
           or not model.with_rigidity or model.time_latent_size != 0
           or ck.get("enc_kind", "cp") != "cp"
           or ck.get("refl_kind", "view") != "view"
@@ -334,7 +337,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         return fused_dyn_cp_render_train(
             p, rays, t, ts, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-            sky_kind=model.sky_kind)
+            sky_kind=model.sky_kind,
+            spline_points=model.spline_points)
 
       return fn
 
