@@ -155,7 +155,7 @@ def _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=None,
 
 def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
                 steps, block_rays, sigmoid_kind="thin", sky_white=False,
-                spline_points=0):
+                spline_points=0, want_dp=False):
   """Forward: refs = [fourier_B, warp wbs, rigidity wbs, packed CP,
   density wbs, refl wbs, out_ref]."""
   out_ref = refs[-1]
@@ -203,6 +203,13 @@ def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
 
   weights, _, _, _, _ = _composite_fwd(density, r_d, dists_ref[:, :], B, T)
   _write_outputs(out_ref, rgb, weights, B, T, sky_white)
+  if want_dp:
+    # --dp-weight runs IN-KERNEL (like the VolSDF eikonal column): the
+    # 5th output is the per-ray mean squared deformation, so
+    # mean(out[:, 4]) over the batch == the oracle's
+    # regularizers.delta_x = mean(dp**2) over [N, T, 3]
+    m = jnp.mean(jnp.square(dp), axis=-1)                 # [P]
+    out_ref[:, 4:5] = jnp.mean(m.reshape(B, T), axis=-1, keepdims=True)
 
 
 # flat weight list length: B + warp (7×2) + rigidity (5×2) + 4 CP lines +
@@ -213,7 +220,8 @@ N_WS_DYN = (1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
 
 def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
                     packed_ref, *refs, steps, block_rays,
-                    sigmoid_kind="thin", sky_white=False, spline_points=0):
+                    sigmoid_kind="thin", sky_white=False, spline_points=0,
+                    want_dp=False):
   """refs = (*w_refs, *dw_refs) in `_flatten_params_dyn` order; packed_ref
   is the packed CP block-diagonal (per-level grads still scatter to the
   per-level grefs)."""
@@ -315,6 +323,14 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
       k0 += CP_RANK
   d_warped = d_warped + d_pts_cp
 
+  if want_dp:
+    # dp-reg adjoint: col 4 = (1/(3T)) Σ_{t,a} dp², so each sample adds
+    # g5(ray) · 2·dp/(3T) directly to the dp cotangent (dp reaches the
+    # output through warped pts AND this column)
+    cd = g_ref[:, 4:5] / float(T)                          # [B, 1]
+    cd_p = jnp.broadcast_to(cd[:, None, :], (B, T, 1)).reshape(P, 1)
+    d_warped = d_warped + cd_p * ((2.0 / 3.0) * dp)
+
   # ---- backward: warp + rigidity (d_dp = d_warped; pts are leaves) ----
   spl = wstash["spl"]
   d_spl = d_warped * gate                                 # [P, 3]
@@ -384,7 +400,7 @@ def _common_specs(block_rays, steps):
 
 def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
-                      sky_white=False, spline_points=0):
+                      sky_white=False, spline_points=0, want_dp=False):
   # CP lines pre-packed for the forward (indices OFF_L..OFF_L+3 of the
   # flat list collapse into one block-diagonal tensor)
   OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
@@ -396,20 +412,21 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
   kernel = functools.partial(_dyn_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             spline_points=spline_points)
+                             spline_points=spline_points, want_dp=want_dp)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   for w in ws:
     in_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM))
-  out_spec = pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+  C = 5 if want_dp else 4
+  out_spec = pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
   return pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=in_specs,
       out_specs=out_spec,
-      out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
@@ -418,7 +435,7 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
 
 def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
                        block_rays, interpret, sigmoid_kind="thin",
-                       sky_white=False, spline_points=0):
+                       sky_white=False, spline_points=0, want_dp=False):
   OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
   L = len(CP_RESOLUTIONS)
   packed = _pack_lines(ws[OFF_L:OFF_L + L])
@@ -427,12 +444,13 @@ def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
   kernel = functools.partial(_dyn_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             spline_points=spline_points)
+                             spline_points=spline_points, want_dp=want_dp)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   # g slots in after times (kernel arg order: rays, elaz, times, g, ts,
   # dists, packed, *ws)
-  in_specs.insert(3, pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
+  C = 5 if want_dp else 4
+  in_specs.insert(3, pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
   in_specs.append(pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM))
@@ -489,9 +507,9 @@ def fused_dyn_cp_render(params, rays, times, *, steps: int = 64,
 @functools.lru_cache(maxsize=8)
 def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                           sigmoid_kind="thin", sky_white=False,
-                          spline_points=0):
+                          spline_points=0, want_dp=False):
   """Custom-VJP fused D-NeRF render: (ws, rays, elaz, times, ts, dists)
-  -> [N, 4]; gradients flow to the weights (incl. warp + rigidity)."""
+  -> [N, 4|5]; gradients flow to the weights (incl. warp + rigidity)."""
 
   @jax.custom_vjp
   def render(ws, rays, elaz, times, ts, dists):
@@ -500,7 +518,7 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
                              sky_white=sky_white,
-                             spline_points=spline_points)
+                             spline_points=spline_points, want_dp=want_dp)
 
   def fwd(ws, rays, elaz, times, ts, dists):
     return render(ws, rays, elaz, times, ts, dists), (ws, rays, elaz,
@@ -513,7 +531,7 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
                              sky_white=sky_white,
-                             spline_points=spline_points)
+                             spline_points=spline_points, want_dp=want_dp)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
             jnp.zeros_like(times), jnp.zeros_like(ts),
@@ -531,9 +549,12 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
                               interpret: bool = False,
                               sigmoid_kind: str = "thin",
                               sky_kind: str = "black",
-                              spline_points: int = 0):
-  """Differentiable fused D-NeRF render: rays [N, 6] + times [N] -> [N, 4]
-  with gradients w.r.t. `params` via the custom-VJP backward kernel."""
+                              spline_points: int = 0,
+                              want_dp: bool = False):
+  """Differentiable fused D-NeRF render: rays [N, 6] + times [N] ->
+  [N, 4] (rgb ‖ acc), or [N, 5] with want_dp (per-ray mean dp² column
+  for the --dp-weight regularizer), with gradients w.r.t. `params` via
+  the custom-VJP backward kernel."""
   ws = tuple(_flatten_params_dyn(params))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
@@ -542,7 +563,8 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
   dists = _dists_base(ts)
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
-                                 sky_kind == "white", spline_points)
+                                 sky_kind == "white", spline_points,
+                                 want_dp)
   return render(ws, rays, elaz, times[:, None], ts, dists)
 
 
@@ -552,7 +574,7 @@ def fused_dyn_cp_render_train_sharded(
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
     sigmoid_kind: str = "thin", sky_kind: str = "black",
-    spline_points: int = 0):
+    spline_points: int = 0, want_dp: bool = False):
   """Multi-chip fused D-NeRF training render: rays + times shard over the
   mesh's data axis, weights replicate, weight cotangents psum over ICI
   via shard_map's transpose (same pattern as the static
@@ -572,7 +594,8 @@ def fused_dyn_cp_render_train_sharded(
   dists = _dists_base(ts)
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
-                                 sky_kind == "white", spline_points)
+                                 sky_kind == "white", spline_points,
+                                 want_dp)
 
   import inspect
   sig = inspect.signature(shard_map).parameters

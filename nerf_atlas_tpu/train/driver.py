@@ -155,7 +155,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     # the VolSDF kernel computes the eikonal residual in-kernel (its
     # dual analytic-grad path); volsdf_scale reads only the learned
     # scale PARAM, recomputed from the pytree in the fused loss below
-    allowed = ("eikonal", "volsdf_scale") if isinstance(model, VolSDF) else ()
+    allowed = ("eikonal", "volsdf_scale") if isinstance(model, VolSDF) else (
+        ("delta_x",) if isinstance(model, DynamicNeRF) else ())
     if (not _fused_common_ok(model, cfg, extra_kwargs, allowed_regs=allowed)
         or getattr(ds, "lights", None) is not None):
       return None
@@ -331,6 +332,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                            fused_dyn_cp_render_train)
       _flatten_params_dyn(params)
 
+      want_dp = bool(cfg.reg_coeffs.get("delta_x"))
+
       def fn(p, rays, t, key):
         ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
                                  perturb=1.0, key=key)[None]
@@ -338,7 +341,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
             p, rays, t, ts, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
             sky_kind=model.sky_kind,
-            spline_points=model.spline_points)
+            spline_points=model.spline_points, want_dp=want_dp)
 
       return fn
 
@@ -407,8 +410,12 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
                                  smooth_opts)
         if not isinstance(out, tuple) and out.shape[-1] == 5:
-          # in-kernel eikonal column (fused VolSDF): per-ray mean residual
-          reg = reg + cfg.reg_coeffs["eikonal"] * jnp.mean(out[:, 4])
+          # in-kernel regularizer column: per-ray mean residual — the
+          # eikonal for fused VolSDF, mean dp² (--dp-weight) for the
+          # fused D-NeRF kernel
+          from ..models import VolSDF as _VolSDF
+          key5 = "eikonal" if isinstance(model, _VolSDF) else "delta_x"
+          reg = reg + cfg.reg_coeffs[key5] * jnp.mean(out[:, 4])
         if cfg.reg_coeffs.get("volsdf_scale"):
           # fused VolSDF: the scale anneal reads only the learned param
           reg = reg + cfg.reg_coeffs["volsdf_scale"] * (

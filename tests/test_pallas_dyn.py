@@ -154,7 +154,7 @@ def test_fused_dyn_train_gate(monkeypatch):
   ds = sampler_lib.RayDataset(pixels=pix, camera=cam,
                               times=jnp.linspace(0, 1, 3), size=8)
 
-  def gate(**model_kw):
+  def gate(reg_coeffs=None, **model_kw):
     m = models.DynamicNeRF(
         canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
         with_rigidity=True, steps=8, t_near=2.0, t_far=6.0, **model_kw)
@@ -164,10 +164,58 @@ def test_fused_dyn_train_gate(monkeypatch):
     t = jnp.linspace(0, 1, 16)
     p = m.init({"params": jax.random.PRNGKey(0),
                 "sampler": jax.random.PRNGKey(1)}, r, times=t, train=True)
-    cfg = driver_lib.TrainConfig(batch_size=128)
+    cfg = driver_lib.TrainConfig(batch_size=128,
+                                 reg_coeffs=reg_coeffs or {})
     return driver_lib._fused_train_fn(m, cfg, ds, None, p, None) is not None
 
   assert gate(spline_points=0), "direct Δx mode must engage"
   assert gate(spline_points=5), "Spline-NeRF mode must engage"
   assert not gate(spline_points=0, time_latent_size=3), (
       "per-time refl latent is outside the kernel envelope")
+  assert gate(spline_points=0, reg_coeffs={"delta_x": 1e-3}), (
+      "--dp-weight runs in-kernel (5th column) — must stay fused")
+  assert not gate(spline_points=0, reg_coeffs={"offset": 1e-3}), (
+      "other dyn regularizers fall back to the oracle")
+
+
+@pytest.mark.parametrize("spline", [0, 5])
+def test_fused_dyn_dp_column_matches_oracle(spline):
+  """want_dp: the 5th output column is the per-ray mean dp², so the
+  fused --dp-weight loss (and its gradient, which reaches dp through
+  BOTH the warped points and the reg column) matches the oracle's
+  regularizers.delta_x."""
+  model, params, rays, times = _setup(32, 16, seed=7, spline_points=spline)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+  W = 0.05
+
+  def loss_fused(p):
+    out = fused_dyn_cp_render_train(p, rays, times, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True,
+                                    spline_points=spline, want_dp=True)
+    assert out.shape[-1] == 5
+    return jnp.mean((out[:, :3] - target) ** 2) + W * jnp.mean(out[:, 4])
+
+  def loss_oracle(p):
+    out = model.apply(p, rays, times=times)
+    return (jnp.mean((out["rgb"] - target) ** 2)
+            + W * jnp.mean(jnp.square(out["dp"])))
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  num, den = 0.0, 0.0
+  for path, g_fused in flat_f:
+    go_n = np.asarray(flat_o[path], np.float64)
+    gf_n = np.asarray(g_fused, np.float64)
+    num += np.sum((gf_n - go_n) ** 2)
+    den += np.sum(go_n ** 2)
+    if np.linalg.norm(go_n) < 1e-12:
+      continue
+    cos = (gf_n * go_n).sum() / max(
+        np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
+    assert cos > 0.97, (jax.tree_util.keystr(path), cos)
+  assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
