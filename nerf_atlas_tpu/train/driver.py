@@ -662,8 +662,46 @@ def _fused_render_fn(model, params):
   (PlainNeRF, cp encoder, default sizes, black sky) on a TPU backend;
   None otherwise (the pure-XLA oracle renders everything else)."""
   try:
-    from ..models import CoarseFineNeRF, NeRFAE, PlainNeRF, VolSDF
+    from ..models import (CoarseFineNeRF, DynamicNeRF, NeRFAE, PlainNeRF,
+                          VolSDF)
     from ..ops.pallas.render import FUSED_SIGMOID_KINDS
+    if isinstance(model, DynamicNeRF):
+      # D-NeRF eval envelope: same config bounds as the train gate
+      # (direct Δx or Spline-NeRF warp over the canonical plain-cp
+      # chain); the returned fn needs per-ray times (needs_times)
+      ck = dict(model.canonical_kwargs or {})
+      allowed_ck = {"enc_kind", "refl_kind", "steps", "t_near", "t_far",
+                    "sky_kind", "sigmoid_kind"}
+      if (model.mip is not None or model.canonical_kind != "plain"
+          or model.spline_points == 1
+          or not model.with_rigidity or model.time_latent_size != 0
+          or ck.get("enc_kind", "cp") != "cp"
+          or ck.get("refl_kind", "view") != "view"
+          or any(k not in allowed_ck for k in ck)
+          or model.sky_kind not in ("black", "white")
+          or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
+          or jax.default_backend() == "cpu"):
+        return None
+      from ..ops.pallas.render import RENDER_BLOCK_RAYS
+      from ..ops.pallas.render_dyn import (_flatten_params_dyn,
+                                           fused_dyn_cp_render)
+      _flatten_params_dyn(params)  # raises on divergence
+
+      def dyn_fn(p, rays_chunk, t_chunk):
+        br = RENDER_BLOCK_RAYS
+        n = rays_chunk.shape[0]
+        pad = (-n) % br
+        rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
+        tc = jnp.pad(t_chunk, (0, pad)) if pad else t_chunk
+        out = fused_dyn_cp_render(
+            p, rc, tc, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind,
+            spline_points=model.spline_points)
+        return out[:n, :3]
+
+      dyn_fn.needs_times = True
+      return dyn_fn
     if isinstance(model, VolSDF):
       # SDF flagship envelope: default MLP shape + view refl, no
       # secondary lighting (render_volsdf.py)
@@ -847,10 +885,15 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
       model, ds, jnp.full((chunk,), view, jnp.int32)))
 
   fused = _fused_render_fn(model, params) if mode == "rgb" else None
+  if (fused is not None and getattr(fused, "needs_times", False)
+      and time_val is None and ds.times is None):
+    fused = None  # dyn kernel needs per-ray times
 
   @jax.jit
   def render_chunk(rs_chunk, t_chunk):
     if fused is not None:
+      if getattr(fused, "needs_times", False):
+        return fused(params, rs_chunk, t_chunk)
       return fused(params, rs_chunk)
     kwargs = dict(extra)
     if t_chunk is not None:

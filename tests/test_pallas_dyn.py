@@ -177,6 +177,25 @@ def test_fused_dyn_train_gate(monkeypatch):
   assert not gate(spline_points=0, reg_coeffs={"offset": 1e-3}), (
       "other dyn regularizers fall back to the oracle")
 
+  # eval gate: the tiled test render also engages the dyn kernel (and
+  # declares it needs per-ray times)
+  def render_gate(**model_kw):
+    m = models.DynamicNeRF(
+        canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
+        with_rigidity=True, steps=8, t_near=2.0, t_far=6.0, **model_kw)
+    r = jnp.concatenate([jnp.zeros((16, 3)),
+                         jnp.tile(jnp.array([[0.0, 0, -1.0]]), (16, 1))],
+                        -1)
+    p = m.init({"params": jax.random.PRNGKey(0),
+                "sampler": jax.random.PRNGKey(1)}, r,
+               times=jnp.linspace(0, 1, 16), train=True)
+    return driver_lib._fused_render_fn(m, p)
+
+  fn = render_gate(spline_points=5)
+  assert fn is not None and getattr(fn, "needs_times", False), (
+      "fused dyn eval render must engage and declare needs_times")
+  assert render_gate(time_latent_size=3) is None
+
 
 @pytest.mark.parametrize("spline", [0, 5])
 def test_fused_dyn_dp_column_matches_oracle(spline):
