@@ -162,6 +162,12 @@ def _config_model(kind):
     return models.DynamicNeRF(
         canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
         spline_points=0, **common), True
+  if kind == "dnerf_spline":
+    # Spline-NeRF (the reference repo's paper model; makefile dnerf
+    # recipes pass --spline 5/6)
+    return models.DynamicNeRF(
+        canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
+        spline_points=5, **common), True
   if kind == "mip":
     return models.PlainNeRF(mip="cone", **common), False
   if kind == "coarse_fine":
@@ -199,12 +205,14 @@ def bench_config_train(kind, fused=False, n=15):
   @jax.jit
   def step(params, opt_state, k):
     def loss_fn(p):
-      if fused and kind == "dnerf":
+      if fused and kind in ("dnerf", "dnerf_spline"):
         from nerf_atlas_tpu.ops.pallas.render_dyn import (
             fused_dyn_cp_render_train)
         ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        spl = 5 if kind == "dnerf_spline" else 0
         rgb = fused_dyn_cp_render_train(p, rays, times, ts, steps=STEPS,
-                                        t_near=2.0, t_far=6.0)[:, :3]
+                                        t_near=2.0, t_far=6.0,
+                                        spline_points=spl)[:, :3]
       elif fused and kind == "ae":
         from nerf_atlas_tpu.ops.pallas.render_ae import fused_ae_render_train
         ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
@@ -287,7 +295,8 @@ def _per_config_table(baseline_table):
   """rays/s for every canonical config; vs_baseline uses the reference's
   per-config CPU measurement when available."""
   table = {}
-  for kind in ("tiny", "ae", "volsdf", "dnerf", "mip", "coarse_fine"):
+  for kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
+               "coarse_fine"):
     entry = {}
     oracle_kinds = ("tiny", "ae", "volsdf", "dnerf")
     try:
@@ -296,7 +305,8 @@ def _per_config_table(baseline_table):
         entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
-    if kind in ("ae", "volsdf", "dnerf", "mip", "coarse_fine"):
+    if kind in ("ae", "volsdf", "dnerf", "dnerf_spline", "mip",
+                "coarse_fine"):
       try:
         entry["train_rays_per_sec_fused"] = round(
             bench_config_train(kind, fused=True), 1)
@@ -307,8 +317,9 @@ def _per_config_table(baseline_table):
       # broken upstream (exit() at src/nerf.py:1772), so their baseline
       # is the reference's plain recipe
       entry["baseline_note"] = "vs the reference's plain recipe"
-    ref = baseline_table.get("plain" if kind in ("mip", "coarse_fine")
-                             else kind)
+    ref = baseline_table.get(
+        "plain" if kind in ("mip", "coarse_fine")
+        else ("dnerf" if kind == "dnerf_spline" else kind))
     best = (entry.get("train_rays_per_sec_fused")
             or entry.get("train_rays_per_sec"))
     if isinstance(ref, (int, float)) and best:
