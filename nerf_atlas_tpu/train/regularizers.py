@@ -33,15 +33,25 @@ def delta_x(out, **_):
 
 
 def offset_nrnerf(out, **_):
-  """NR-NeRF offset loss: weighted deformation magnitude with rigidity
-  (1 - rigidity stays cheap to move)."""
+  """NR-NeRF offset loss (reference runner.py:776-781):
+  weights.detach() · (‖dp‖^(2−rigidity) + 3e-3·rigidity) — rigid points
+  (rigidity→1) pay ~‖dp‖, free points (→0) pay ‖dp‖², so non-rigid
+  motion is cheaper. The norm is eps-safened: the warp MLP is
+  zero-initialized (zero_last), so the exact ‖0‖^a autograd NaNs on the
+  very first training step (the reference inherits that NaN from
+  torch's vector_norm/pow at 0)."""
   dp, rig = out.get("dp"), out.get("rigidity")
   if dp is None:
     return 0.0
-  mag = jnp.sum(jnp.square(dp), axis=-1)
+  norm = jnp.sqrt(jnp.sum(jnp.square(dp), axis=-1, keepdims=True) + 1e-12)
   if rig is not None:
-    mag = mag * (2 - rig[..., 0])
-  return jnp.mean(mag ** 0.5)
+    val = norm ** (2.0 - rig) + 3e-3 * rig
+  else:
+    val = jnp.square(norm)
+  w = out.get("weights")
+  if w is not None and w.shape == val.shape[:-1]:
+    val = jax.lax.stop_gradient(w)[..., None] * val
+  return jnp.mean(val)
 
 
 def rigidity_sparsity(out, **_):
