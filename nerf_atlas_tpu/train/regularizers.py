@@ -125,11 +125,22 @@ REGULARIZERS: Dict[str, Callable] = {
 
 
 def total_regularizer(out: Dict[str, Any], coeffs: Dict[str, float]):
-  """Sum of coeff * reg for every nonzero coefficient."""
+  """Sum of coeff * reg for every nonzero out-dict coefficient.
+
+  Point-sampled names (POINT_REGULARIZERS) are someone else's job —
+  `point_regularizers` dispatches them with extra model evaluations —
+  so they are skipped here, NOT KeyErrors: cfg.reg_coeffs carries both
+  families in one dict."""
   total = 0.0
   for name, c in coeffs.items():
-    if c:
-      total = total + c * REGULARIZERS[name](out)
+    if not c:
+      continue
+    fn = REGULARIZERS.get(name)
+    if fn is None:
+      if name not in POINT_REGULARIZERS:
+        raise KeyError(f"unknown regularizer '{name}'")
+      continue
+    total = total + c * fn(out)
   return total
 
 
@@ -165,8 +176,13 @@ def smooth_normals(model_apply, params, key, n: int = 512,
   n1 = model_apply(params, pts + delta, method=method)
   total = 0.0
   for o in ords:
-    total = total + jnp.mean(
-        jnp.linalg.norm(n0 - n1, ord=o, axis=-1) ** (2 if o == 2 else 1))
+    if o == 2:
+      # norm² as a direct sum of squares: mathematically identical, but
+      # autodiff of norm(x)**2 is NaN at x == 0 (0/0 inside the norm)
+      total = total + jnp.mean(jnp.sum(jnp.square(n0 - n1), axis=-1))
+    else:
+      total = total + jnp.mean(
+          jnp.linalg.norm(n0 - n1, ord=o, axis=-1))
   return total
 
 
@@ -262,7 +278,10 @@ def spline_length(model_apply, params, key, n: int = 256, t_samples: int = 8):
   ptsb = jnp.broadcast_to(pts, (t_samples, n, 3))
   tb = jnp.broadcast_to(ts[:, None, None], (t_samples, n, 1))
   dp = model_apply(params, ptsb, tb, method="delta_x")
-  seg = jnp.linalg.norm(dp[1:] - dp[:-1], axis=-1)
+  # eps-safe norm: the warp is zero-initialized, so the exact-zero diffs
+  # at step 1 would NaN the gradient (same hazard as offset_nrnerf)
+  seg = jnp.sqrt(
+      jnp.sum(jnp.square(dp[1:] - dp[:-1]), axis=-1) + 1e-12)
   return jnp.mean(jnp.sum(seg, axis=0))
 
 

@@ -145,3 +145,56 @@ def test_offset_reg_matches_reference_form_and_is_finite_at_zero_warp():
   gw = jax.grad(lambda w_: offset_nrnerf(
       {"dp": dp, "rigidity": rig, "weights": w_}))(w)
   assert float(jnp.abs(gw).max()) == 0.0
+
+
+def test_spline_length_reg_finite_at_zero_warp():
+  """--spline-len-decay at the zero-initialized warp (step 1): the arc
+  length's gradient must be finite (eps-safe norm)."""
+  from nerf_atlas_tpu.train.regularizers import spline_length
+  model = models.load_dyn_model("plain", steps=8, t_near=1.5, t_far=4.5,
+                                spline_points=4, with_rigidity=False,
+                                canonical_kwargs={"steps": 8})
+  rays = jnp.concatenate([jnp.zeros((4, 3)),
+                          jnp.tile(jnp.array([[0, 0, -1.0]]), (4, 1))], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays,
+                      times=jnp.linspace(0, 1, 4), train=True)
+
+  def apply_m(p, *args, method):
+    return model.apply(p, *args, method=getattr(model, method))
+
+  def loss(p):
+    return spline_length(apply_m, p, jax.random.PRNGKey(2), n=16,
+                         t_samples=4)
+  g = jax.grad(loss)(params)
+  leaves = jax.tree_util.tree_leaves(g)
+  assert all(bool(jnp.isfinite(x).all()) for x in leaves), (
+      "spline_length NaNs at the zero warp")
+
+
+def test_point_reg_coeffs_do_not_crash_the_train_step():
+  """cfg.reg_coeffs mixes out-dict and point-sampled regularizers in one
+  dict; total_regularizer must skip the point-sampled names (they are
+  dispatched separately) instead of KeyErroring — --spline-len-decay /
+  --smooth-normals through the CLI hit exactly this."""
+  from nerf_atlas_tpu.train.regularizers import total_regularizer
+  import pytest as _pytest
+  assert total_regularizer({"dp": jnp.zeros((2, 3, 3))},
+                           {"spline_length": 0.1, "delta_x": 0.5}) >= 0
+  with _pytest.raises(KeyError):
+    total_regularizer({}, {"not_a_reg": 1.0})
+
+  (imgs, times), cam, _ = __import__(
+      "nerf_atlas_tpu.data.synthetic", fromlist=["dataset"]).dataset(
+          num_views=4, size=16, dynamic=True)
+  bundle = loaders.DatasetBundle((imgs, times), cam, None)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.load_dyn_model("plain", steps=8, t_near=1.5, t_far=4.5,
+                                spline_points=4, with_rigidity=True,
+                                canonical_kwargs={"steps": 8})
+  cfg = driver.TrainConfig(steps=2, batch_size=128, log_freq=2,
+                           save_freq=0,
+                           reg_coeffs={"spline_length": 0.1,
+                                       "offset": 0.1})
+  _, _, history = driver.train(model, ds, cfg)
+  assert history and all(np.isfinite(h["loss"]) for h in history)
