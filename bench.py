@@ -170,6 +170,9 @@ def _config_model(kind):
         spline_points=5, **common), True
   if kind == "mip":
     return models.PlainNeRF(mip="cone", **common), False
+  if kind == "posenc":
+    # the reference's literal `original` recipe encoder (frequency bands)
+    return models.PlainNeRF(enc_kind="posenc", **common), False
   if kind == "coarse_fine":
     return models.CoarseFineNeRF(enc_kind="cp", fine_steps=STEPS,
                                  **common), False
@@ -231,6 +234,13 @@ def bench_config_train(kind, fused=False, n=15):
         rgb = fused_plain_mip_render_train(p, rays, ts, mip_kind="cone",
                                            steps=STEPS, t_near=2.0,
                                            t_far=6.0)[:, :3]
+      elif fused and kind == "posenc":
+        from nerf_atlas_tpu.ops.pallas.render import (
+            fused_plain_cp_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_plain_cp_render_train(p, rays, ts, enc_kind="posenc",
+                                          steps=STEPS, t_near=2.0,
+                                          t_far=6.0)[:, :3]
       elif fused and kind == "coarse_fine":
         from nerf_atlas_tpu.ops.pallas.render import fused_coarse_fine_train
         k_ts, k_pdf = jax.random.split(k)
@@ -296,7 +306,7 @@ def _per_config_table(baseline_table):
   per-config CPU measurement when available."""
   table = {}
   for kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-               "coarse_fine"):
+               "coarse_fine", "posenc"):
     entry = {}
     oracle_kinds = ("tiny", "ae", "volsdf", "dnerf")
     try:
@@ -306,7 +316,7 @@ def _per_config_table(baseline_table):
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
     if kind in ("ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-                "coarse_fine"):
+                "coarse_fine", "posenc"):
       try:
         entry["train_rays_per_sec_fused"] = round(
             bench_config_train(kind, fused=True), 1)
@@ -318,7 +328,7 @@ def _per_config_table(baseline_table):
       # is the reference's plain recipe
       entry["baseline_note"] = "vs the reference's plain recipe"
     ref = baseline_table.get(
-        "plain" if kind in ("mip", "coarse_fine")
+        "plain" if kind in ("mip", "coarse_fine", "posenc")
         else ("dnerf" if kind == "dnerf_spline" else kind))
     best = (entry.get("train_rays_per_sec_fused")
             or entry.get("train_rays_per_sec"))

@@ -341,6 +341,34 @@ def _ipe_scale_mat():
   return sel * jnp.exp2((col // 3).astype(jnp.float32))
 
 
+PE_FREQS = 10                  # PlainNeRF(enc_kind="posenc") bands
+PE_MAX_LOG2 = 6.0              # (models/nerf.py: PositionalEncoder(3, 6, 10))
+PE_ENC = 2 * 3 * PE_FREQS      # sin ‖ cos, dim-major = 60
+
+
+def _pe_sel():
+  """S [3, 30] with S[c, j] = 2^((j%10)·6/9)·[j//10 == c]: `pts @ S` lays
+  phases out dim-major / band-minor, matching nn.PositionalEncoder's
+  reshape of x[..., :, None]·freqs (freqs = 2^linspace(0, 6, 10)).
+  Built from iota in-kernel (Pallas forbids captured array constants)."""
+  row = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * PE_FREQS), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * PE_FREQS), 1)
+  sel = (col // PE_FREQS == row).astype(jnp.float32)
+  expo = (col % PE_FREQS).astype(jnp.float32) * (
+      PE_MAX_LOG2 / (PE_FREQS - 1))
+  return sel * jnp.exp2(expo)
+
+
+def _posenc_fwd(pts):
+  """[P, 3] -> [P, 60] bf16 positional-encoder features (sin ‖ cos).
+
+  Phases reach ±|p|·2^6 ≈ 2^8.6 radians — exactly the bf16 fourier-phase
+  trap regime, so the band projection runs through `_dot_exact`."""
+  y = _dot_exact(pts.astype(jnp.float32), _pe_sel())         # [P, 30]
+  return jnp.concatenate(
+      [_sin_approx(y), _cos_approx(y)], axis=-1).astype(jnp.bfloat16)
+
+
 def _dot_exact(a, b):
   """f32 matmul at TRUE f32 precision (multi-pass MXU).
 
@@ -554,6 +582,10 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
     pw = next_w()[...]                          # [3, 240, 32] block-diag
     enc, _ = _cp_fwd(pts, pw)
     init_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  elif enc_kind == "posenc":
+    # ---- classic NeRF frequency bands (parameter-free, closed-form) ----
+    init_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
   else:
     # ---- MipNeRF IPE: features REPLACE the encoded input entirely ----
     init_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
@@ -680,22 +712,25 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
 
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
                                              "block_rays", "interpret",
-                                             "sigmoid_kind", "sky_kind"))
+                                             "sigmoid_kind", "sky_kind",
+                                             "enc_kind"))
 def fused_plain_cp_render(params, rays, *, steps: int = 64,
                           t_near: float = 2.0, t_far: float = 6.0,
                           block_rays: int = RENDER_BLOCK_RAYS,
                           interpret: bool = False,
                           sigmoid_kind: str = "thin",
-                          sky_kind: str = "black"):
+                          sky_kind: str = "black",
+                          enc_kind: str = "cp"):
   """Render rays [N, 6] -> [N, 4] (rgb ‖ acc) with the fused kernel.
 
-  params: the flax params of models.PlainNeRF(enc_kind="cp") with default
-  architecture sizes. N must be a multiple of block_rays (the driver pads).
+  params: the flax params of models.PlainNeRF(enc_kind="cp"|"posenc")
+  with default architecture sizes. N must be a multiple of block_rays
+  (the driver pads).
   """
   # pre-cast matmul weights to bf16 on the host: casting 256x256 kernels
   # inside every grid program costs more VPU time than the matmuls save
   ws = [w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
-        for w in _flatten_params(params)]
+        for w in _flatten_params(params, enc_kind=enc_kind)]
 
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])          # [N, 2] host-side math
@@ -705,7 +740,7 @@ def fused_plain_cp_render(params, rays, *, steps: int = 64,
   return _forward_call(ws, rays, elaz, ts, dists, steps=steps,
                        block_rays=block_rays, interpret=interpret,
                        sigmoid_kind=sigmoid_kind,
-                       sky_white=sky_kind == "white")
+                       sky_white=sky_kind == "white", enc_kind=enc_kind)
 
 
 # ---------------------------------------------------------------------------
@@ -825,6 +860,9 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
     pw = packed_ref[...]                         # [3, 240, 32]
     enc, cp_stash = _cp_fwd(pts, pw)
     d_feat = jnp.concatenate([pts.astype(jnp.bfloat16), enc], axis=-1)
+  elif enc_kind == "posenc":
+    d_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
   else:
     d_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
 
@@ -881,8 +919,8 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                            + dl[r0:r0 + R, k0:k0 + CP_RANK])
         r0 += R
         k0 += CP_RANK
-  # mip/IPE: the feature stream has no params and rays carry no gradient
-  # on this path, so d_featg is fully discarded
+  # mip/IPE + posenc: the feature stream has no params and rays carry no
+  # gradient on this path, so d_featg is fully discarded
 
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
@@ -979,23 +1017,25 @@ def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
                                 bwd_block_rays: int = BWD_BLOCK_RAYS,
                                 interpret: bool = False,
                                 sigmoid_kind: str = "thin",
-                                sky_kind: str = "black"):
+                                sky_kind: str = "black",
+                                enc_kind: str = "cp"):
   """Differentiable fused render for the training path: [N, 6] -> [N, 4]
   with gradients w.r.t. `params` via the custom-VJP backward kernel.
 
   `ts` [1, T] optionally supplies (stratified) sample positions — pass
   the per-step jittered vector for reference-parity training noise; the
   default is the uniform eval grid. N must be a multiple of block_rays
-  AND bwd_block_rays.
+  AND bwd_block_rays. enc_kind "posenc" selects the closed-form
+  frequency-band stream (the reference's `original` recipe encoder).
   """
-  ws = tuple(_flatten_params(params))
+  ws = tuple(_flatten_params(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
   if ts is None:
     ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
   render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
-                             sigmoid_kind, sky_kind == "white")
+                             sigmoid_kind, sky_kind == "white", enc_kind)
   return render(ws, rays, elaz, ts, dists)
 
 

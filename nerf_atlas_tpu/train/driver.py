@@ -165,9 +165,10 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
 
     from ..models import CoarseFineNeRF
     if isinstance(model, PlainNeRF):
-      # with mip set, the IPE envelope replaces the CP encoder (BASELINE
-      # config #2's feature path); otherwise the cp encoder is required
-      if ((model.mip is None and model.enc_kind != "cp")
+      # with mip set, the IPE envelope replaces the spatial encoder
+      # (BASELINE config #2's feature path); otherwise cp (flagship) and
+      # posenc (the reference's `original` recipe) are in-kernel
+      if ((model.mip is None and model.enc_kind not in ("cp", "posenc"))
           or model.refl_kind != "view"
           or model.intermediate_size != 32
           or model.refl_space != "identity" or ds.times is not None):
@@ -176,7 +177,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                        fused_plain_cp_render_train_sharded,
                                        fused_plain_mip_render_train,
                                        _flatten_params)
-      enc_kind = model.mip or "cp"
+      enc_kind = model.mip or model.enc_kind
       if mesh is not None and (
           mesh.size == 1
           or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
@@ -203,7 +204,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         return fused_plain_cp_render_train(
             p, rays, ts, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-            sky_kind=model.sky_kind)
+            sky_kind=model.sky_kind, enc_kind=enc_kind)
 
       return fn
 
@@ -211,13 +212,13 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       # hierarchical flagship: two fused passes share one weight set;
       # sample_pdf + merge run in XLA between them. The train fn returns
       # (fine, coarse) — compute_loss supervises both (see below).
-      if ((model.mip is None and model.enc_kind != "cp")
+      if ((model.mip is None and model.enc_kind not in ("cp", "posenc"))
           or model.refl_kind != "view" or model.intermediate_size != 32
           or ds.times is not None or mesh is not None):
         return None
       from ..ops.pallas.render import (fused_coarse_fine_train,
                                        _flatten_params)
-      enc_kind = model.mip or "cp"
+      enc_kind = model.mip or model.enc_kind
       _flatten_params(params, enc_kind=enc_kind)
 
       def fn(p, rays, t, key):
@@ -737,7 +738,8 @@ def _fused_render_fn(model, params):
     is_cf = isinstance(model, CoarseFineNeRF)
     is_ae = isinstance(model, NeRFAE)
     if ((not isinstance(model, PlainNeRF) and not is_cf and not is_ae)
-        or (not is_ae and model.mip is None and model.enc_kind != "cp")
+        or (not is_ae and model.mip is None
+            and model.enc_kind not in ("cp", "posenc"))
         or (is_ae and (model.mip is not None or model.encoding_size != 32
                        or not model.normalize_latent))
         or model.sky_kind not in ("black", "white", "random")
@@ -760,7 +762,7 @@ def _fused_render_fn(model, params):
       _flatten_params_ae(params)  # raises on divergence
       enc_kind = None
     else:
-      enc_kind = model.mip or "cp"
+      enc_kind = model.mip or model.enc_kind
       _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
 
     def fn(p, rays_chunk):
@@ -778,7 +780,7 @@ def _fused_render_fn(model, params):
       elif model.mip is not None:
         out = fused_plain_mip_render(p, rc, mip_kind=model.mip, **kw)
       else:
-        out = fused_plain_cp_render(p, rc, **kw)
+        out = fused_plain_cp_render(p, rc, enc_kind=enc_kind, **kw)
       return out[:n, :3]
 
     return fn

@@ -13,8 +13,10 @@ import pytest
 pytestmark = pytest.mark.slow  # interpret-mode Pallas kernels
 
 
-def test_fused_render_matches_oracle():
-  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0, enc_kind="cp")
+@pytest.mark.parametrize("enc_kind", ["cp", "posenc"])
+def test_fused_render_matches_oracle(enc_kind):
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                           enc_kind=enc_kind)
   n = 64
   key = jax.random.PRNGKey(0)
   r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
@@ -24,7 +26,8 @@ def test_fused_render_matches_oracle():
                        "sampler": jax.random.PRNGKey(1)}, rays, train=True)
   oracle = model.apply(params, rays)
   fused = fused_plain_cp_render(params, rays, steps=16, t_near=2.0,
-                                t_far=6.0, block_rays=32, interpret=True)
+                                t_far=6.0, block_rays=32, interpret=True,
+                                enc_kind=enc_kind)
   np.testing.assert_allclose(np.asarray(fused[:, :3]),
                              np.asarray(oracle["rgb"]), atol=2e-2)
   acc = oracle["weights"].sum(-1)
@@ -32,9 +35,11 @@ def test_fused_render_matches_oracle():
                              atol=2e-2)
 
 
-def test_fused_render_grad_matches_oracle():
+@pytest.mark.parametrize("enc_kind", ["cp", "posenc"])
+def test_fused_render_grad_matches_oracle(enc_kind):
   """Backward kernel (custom VJP) vs jax.grad through the XLA oracle."""
-  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0, enc_kind="cp")
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                           enc_kind=enc_kind)
   n = 32
   key = jax.random.PRNGKey(3)
   r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
@@ -50,7 +55,8 @@ def test_fused_render_grad_matches_oracle():
   def loss_fused(p):
     out = fused_plain_cp_render_train(p, rays, steps=16, t_near=2.0,
                                       t_far=6.0, block_rays=16,
-                                      bwd_block_rays=16, interpret=True)
+                                      bwd_block_rays=16, interpret=True,
+                                      enc_kind=enc_kind)
     return (jnp.mean((out[:, :3] - target) ** 2)
             + jnp.mean((out[:, 3] - 0.7) ** 2))
 
@@ -64,8 +70,12 @@ def test_fused_render_grad_matches_oracle():
   lo, go = jax.value_and_grad(loss_oracle)(params)
   np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
 
-  # Criteria (measured headroom: global rel ≈ 0.008, min cosine ≈ 0.993):
-  #  - global relative Frobenius error < 3% (the gradient as a whole);
+  # Criteria (measured headroom: cp global rel ≈ 0.027, posenc ≈ 0.038,
+  # min cosine ≈ 0.993):
+  #  - global relative Frobenius error < 3% cp / 5% posenc — posenc's
+  #    oscillatory features are inherently ~3x more bf16-sensitive (a
+  #    pure-XLA bf16 oracle deviates 1.9% from f32 on this config vs
+  #    0.6% for cp), so its bar scales with that measured floor;
   #  - per-tensor cosine > 0.98 (direction right everywhere — per-tensor
   #    MAGNITUDE error on tiny-norm tensors is bf16 cancellation noise).
   flat_f = jax.tree_util.tree_leaves_with_path(gf)
@@ -82,7 +92,8 @@ def test_fused_render_grad_matches_oracle():
     assert cos > 0.98, (jax.tree_util.keystr(path), cos)
     if np.abs(go_n).max() > 0:
       checked += 1
-  assert np.sqrt(num / den) < 0.03, np.sqrt(num / den)
+  assert np.sqrt(num / den) < (0.03 if enc_kind == "cp" else 0.05), (
+      np.sqrt(num / den))
   assert checked > 20  # every weight/bias actually received gradient
 
 
