@@ -171,7 +171,8 @@ def _config_model(kind):
   if kind == "mip":
     return models.PlainNeRF(mip="cone", **common), False
   if kind == "posenc":
-    # the reference's literal `original` recipe encoder (frequency bands)
+    # the classic NeRF frequency encoder (the reference's
+    # PositionalEncoder; its `plain` default is the hash grid)
     return models.PlainNeRF(enc_kind="posenc", **common), False
   if kind == "coarse_fine":
     return models.CoarseFineNeRF(enc_kind="cp", fine_steps=STEPS,

@@ -1026,7 +1026,8 @@ def fused_plain_cp_render_train(params, rays, ts=None, *, steps: int = 64,
   the per-step jittered vector for reference-parity training noise; the
   default is the uniform eval grid. N must be a multiple of block_rays
   AND bwd_block_rays. enc_kind "posenc" selects the closed-form
-  frequency-band stream (the reference's `original` recipe encoder).
+  frequency-band stream (the classic NeRF encoder — the reference's
+  PositionalEncoder, src/neural_blocks.py:15-44).
   """
   ws = tuple(_flatten_params(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim

@@ -167,7 +167,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     if isinstance(model, PlainNeRF):
       # with mip set, the IPE envelope replaces the spatial encoder
       # (BASELINE config #2's feature path); otherwise cp (flagship) and
-      # posenc (the reference's `original` recipe) are in-kernel
+      # posenc (the classic NeRF frequency bands) are in-kernel
       if ((model.mip is None and model.enc_kind not in ("cp", "posenc"))
           or model.refl_kind != "view"
           or model.intermediate_size != 32
