@@ -369,6 +369,24 @@ def _posenc_fwd(pts):
       [_sin_approx(y), _cos_approx(y)], axis=-1).astype(jnp.bfloat16)
 
 
+def _posenc_bwd(denc, pts):
+  """VJP of `_posenc_fwd` w.r.t. pts: denc [P, 60] -> d_pts [P, 3] f32.
+
+  Needed when an upstream module (the D-NeRF warp) feeds the encoder:
+  d sin(y)/dy = cos(y), d cos(y)/dy = -sin(y), then dy folds back
+  through the band selector (the top band scales cotangents by 2^6, so
+  the fold-back dot stays at true-f32 precision like the phase dot)."""
+  S = _pe_sel()
+  y = _dot_exact(pts.astype(jnp.float32), S)
+  F = 3 * PE_FREQS
+  dy = (denc[:, :F].astype(jnp.float32) * _cos_approx(y)
+        - denc[:, F:].astype(jnp.float32) * _sin_approx(y))
+  return jax.lax.dot_general(
+      dy, S, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+      precision=jax.lax.Precision.HIGHEST)
+
+
 def _dot_exact(a, b):
   """f32 matmul at TRUE f32 precision (multi-pass MXU).
 

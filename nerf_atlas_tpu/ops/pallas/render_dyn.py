@@ -44,8 +44,9 @@ from .render import (
     N_LAYERS, R_HIDDEN, R_LAYERS, SKIP, DEFAULT_BLOCK_RAYS, BWD_BLOCK_RAYS,
     _composite_bwd, _composite_fwd, _cp_bwd, _cp_fwd, _cos_approx,
     _dists_base, _dot, _dot_nt, _dot_t, _leaky_act, _leaky_grad,
-    _linspace_ts, _mlp_bwd, _mlp_fwd, _pack_lines, _rgb_act_grad,
-    _sin_approx, _sin30_act, _sin30_grad, _write_outputs,
+    _linspace_ts, _mlp_bwd, _mlp_fwd, _pack_lines, _posenc_bwd,
+    _posenc_fwd, _rgb_act_grad, _sin_approx, _sin30_act, _sin30_grad,
+    _write_outputs,
 )
 
 # warp architecture (models/dyn.py DynamicNeRF defaults, spline_points=0)
@@ -155,9 +156,10 @@ def _warp_fwd(pts, t_col, basis, wbs_w, wbs_g, stash=None,
 
 def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
                 steps, block_rays, sigmoid_kind="thin", sky_white=False,
-                spline_points=0, want_dp=False):
-  """Forward: refs = [fourier_B, warp wbs, rigidity wbs, packed CP,
-  density wbs, refl wbs, out_ref]."""
+                spline_points=0, want_dp=False, enc_kind="cp"):
+  """Forward: refs = [fourier_B, warp wbs, rigidity wbs, packed CP (cp
+  only), density wbs, refl wbs, out_ref]. enc_kind "posenc" swaps the
+  canonical CP volume for the closed-form frequency bands (no params)."""
   out_ref = refs[-1]
   wrefs = refs[:-1]
   widx = [0]
@@ -187,8 +189,11 @@ def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
                     spline_points=spline_points)
   warped = pts + dp
 
-  pw = next_w()[...]
-  enc, _ = _cp_fwd(warped, pw)
+  if enc_kind == "cp":
+    pw = next_w()[...]
+    enc, _ = _cp_fwd(warped, pw)
+  else:
+    enc = _posenc_fwd(warped)
   init_feat = jnp.concatenate([warped.astype(jnp.bfloat16), enc], axis=-1)
   first_out = _mlp_fwd(init_feat, wbs(N_LAYERS), _leaky_act, N_LAYERS)
   density = first_out[:, 0:1]
@@ -212,22 +217,31 @@ def _dyn_kernel(rays_ref, elaz_ref, times_ref, ts_ref, dists_ref, *refs,
     out_ref[:, 4:5] = jnp.mean(m.reshape(B, T), axis=-1, keepdims=True)
 
 
-# flat weight list length: B + warp (7×2) + rigidity (5×2) + 4 CP lines +
-# density (7×2) + refl (7×2)
-N_WS_DYN = (1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
-            + len(CP_RESOLUTIONS) + 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2))
+# flat weight list length: B + warp (7×2) + rigidity (5×2) + CP lines
+# (cp only) + density (7×2) + refl (7×2)
+def _n_ws_dyn(enc_kind: str = "cp") -> int:
+  return (1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
+          + (len(CP_RESOLUTIONS) if enc_kind == "cp" else 0)
+          + 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2))
+
+
+N_WS_DYN = _n_ws_dyn("cp")
 
 
 def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
-                    packed_ref, *refs, steps, block_rays,
+                    *refs, steps, block_rays,
                     sigmoid_kind="thin", sky_white=False, spline_points=0,
-                    want_dp=False):
-  """refs = (*w_refs, *dw_refs) in `_flatten_params_dyn` order; packed_ref
-  is the packed CP block-diagonal (per-level grads still scatter to the
-  per-level grefs)."""
-  wrefs = refs[:N_WS_DYN]
-  grefs = refs[N_WS_DYN:]
-  assert len(grefs) == N_WS_DYN
+                    want_dp=False, enc_kind="cp"):
+  """refs = (packed_ref?, *w_refs, *dw_refs) in `_flatten_params_dyn`
+  order; for enc_kind "cp", packed_ref is the packed CP block-diagonal
+  (per-level grads still scatter to the per-level grefs). posenc carries
+  no packed tensor and no encoder gradients (closed-form bands)."""
+  if enc_kind == "cp":
+    packed_ref, refs = refs[0], refs[1:]
+  nw = _n_ws_dyn(enc_kind)
+  wrefs = refs[:nw]
+  grefs = refs[nw:]
+  assert len(grefs) == nw
 
   @pl.when(pl.program_id(0) == 0)
   def _zero():
@@ -236,12 +250,12 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
 
   B, T = block_rays, steps
   P = B * T
-  L = len(CP_RESOLUTIONS)
+  L = len(CP_RESOLUTIONS) if enc_kind == "cp" else 0
 
   # weight list offsets (must mirror _flatten_params_dyn)
   OFF_W = 1                                   # warp wbs
   OFF_G = OFF_W + 2 * (W_LAYERS + 2)          # rigidity wbs
-  OFF_L = OFF_G + 2 * (G_LAYERS + 2)          # CP lines (per level)
+  OFF_L = OFF_G + 2 * (G_LAYERS + 2)          # CP lines (per level, cp)
   OFF_D = OFF_L + L                           # density wbs
   OFF_R = OFF_D + 2 * (N_LAYERS + 2)          # refl wbs
 
@@ -272,8 +286,11 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
                        spline_points=spline_points)
   warped = pts + dp
 
-  pw = packed_ref[...]
-  enc, cp_stash = _cp_fwd(warped, pw)
+  if enc_kind == "cp":
+    pw = packed_ref[...]
+    enc, cp_stash = _cp_fwd(warped, pw)
+  else:
+    enc = _posenc_fwd(warped)
   d_feat = jnp.concatenate([warped.astype(jnp.bfloat16), enc], axis=-1)
   d_hs = []
   first_out = _mlp_fwd(d_feat, wbs_d, _leaky_act, N_LAYERS, stash=d_hs)
@@ -312,16 +329,20 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
   d_warped = d_warped + d_featg[:, 0:IN_DIM]  # density raw-input columns
   denc = d_featg[:, IN_DIM:]
 
-  dls, d_pts_cp = _cp_bwd(denc, cp_stash, pw, want_dpts=True)
-  for axis in range(3):
-    dl = dls[axis]
-    r0, k0 = 0, 0
-    for li, R in enumerate(CP_RESOLUTIONS):
-      grefs[OFF_L + li][axis] = (grefs[OFF_L + li][axis]
-                                 + dl[r0:r0 + R, k0:k0 + CP_RANK])
-      r0 += R
-      k0 += CP_RANK
-  d_warped = d_warped + d_pts_cp
+  if enc_kind == "cp":
+    dls, d_pts_enc = _cp_bwd(denc, cp_stash, pw, want_dpts=True)
+    for axis in range(3):
+      dl = dls[axis]
+      r0, k0 = 0, 0
+      for li, R in enumerate(CP_RESOLUTIONS):
+        grefs[OFF_L + li][axis] = (grefs[OFF_L + li][axis]
+                                   + dl[r0:r0 + R, k0:k0 + CP_RANK])
+        r0 += R
+        k0 += CP_RANK
+  else:
+    # posenc has no params; its pts cotangent folds back to the warp
+    d_pts_enc = _posenc_bwd(denc, warped)
+  d_warped = d_warped + d_pts_enc
 
   if want_dp:
     # dp-reg adjoint: col 4 = (1/(3T)) Σ_{t,a} dp², so each sample adds
@@ -358,8 +379,9 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
   # (grefs[0] stays zeroed)
 
 
-def _flatten_params_dyn(params) -> Sequence[jnp.ndarray]:
-  """DynamicNeRF(plain-cp) param pytree -> flat list in kernel order."""
+def _flatten_params_dyn(params, enc_kind: str = "cp") -> Sequence[jnp.ndarray]:
+  """DynamicNeRF(plain-cp|posenc) param pytree -> flat list in kernel
+  order (posenc has no encoder leaves)."""
   p = params["params"]
   wm, gm = p["warp"], p["rigidity"]
   cm = p["canonical"]
@@ -378,8 +400,9 @@ def _flatten_params_dyn(params) -> Sequence[jnp.ndarray]:
 
   add_mlp(wm, W_LAYERS)
   add_mlp(gm, G_LAYERS)
-  for li in range(len(CP_RESOLUTIONS)):
-    ws.append(dm["enc"][f"lines_{li}"])
+  if enc_kind == "cp":
+    for li in range(len(CP_RESOLUTIONS)):
+      ws.append(dm["enc"][f"lines_{li}"])
   add_mlp(dm, N_LAYERS)
   add_mlp(rm, R_LAYERS)
   return ws
@@ -400,19 +423,22 @@ def _common_specs(block_rays, steps):
 
 def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
-                      sky_white=False, spline_points=0, want_dp=False):
-  # CP lines pre-packed for the forward (indices OFF_L..OFF_L+3 of the
-  # flat list collapse into one block-diagonal tensor)
-  OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
-  L = len(CP_RESOLUTIONS)
-  ws = (list(ws[:OFF_L]) + [_pack_lines(ws[OFF_L:OFF_L + L])]
-        + list(ws[OFF_L + L:]))
+                      sky_white=False, spline_points=0, want_dp=False,
+                      enc_kind="cp"):
+  if enc_kind == "cp":
+    # CP lines pre-packed for the forward (indices OFF_L..OFF_L+3 of the
+    # flat list collapse into one block-diagonal tensor)
+    OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
+    L = len(CP_RESOLUTIONS)
+    ws = (list(ws[:OFF_L]) + [_pack_lines(ws[OFF_L:OFF_L + L])]
+          + list(ws[OFF_L + L:]))
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_dyn_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             spline_points=spline_points, want_dp=want_dp)
+                             spline_points=spline_points, want_dp=want_dp,
+                             enc_kind=enc_kind)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   for w in ws:
@@ -435,25 +461,30 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
 
 def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
                        block_rays, interpret, sigmoid_kind="thin",
-                       sky_white=False, spline_points=0, want_dp=False):
-  OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
-  L = len(CP_RESOLUTIONS)
-  packed = _pack_lines(ws[OFF_L:OFF_L + L])
+                       sky_white=False, spline_points=0, want_dp=False,
+                       enc_kind="cp"):
+  extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_dyn_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
-                             spline_points=spline_points, want_dp=want_dp)
+                             spline_points=spline_points, want_dp=want_dp,
+                             enc_kind=enc_kind)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   # g slots in after times (kernel arg order: rays, elaz, times, g, ts,
-  # dists, packed, *ws)
+  # dists, packed?, *ws)
   C = 5 if want_dp else 4
   in_specs.insert(3, pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
-  in_specs.append(pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM))
+  if enc_kind == "cp":
+    OFF_L = 1 + 2 * (W_LAYERS + 2) + 2 * (G_LAYERS + 2)
+    L = len(CP_RESOLUTIONS)
+    packed = _pack_lines(ws[OFF_L:OFF_L + L])
+    extra = (packed,)
+    in_specs.append(pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
   out_specs, out_shapes = [], []
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -470,7 +501,7 @@ def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(rays, elaz, times, g, ts, dists, packed, *ws)
+  )(rays, elaz, times, g, ts, dists, *extra, *ws)
 
 
 def _cast_ws(ws):
@@ -483,16 +514,17 @@ def _cast_ws(ws):
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
                                              "block_rays", "interpret",
                                              "sigmoid_kind", "sky_kind",
-                                             "spline_points"))
+                                             "spline_points", "enc_kind"))
 def fused_dyn_cp_render(params, rays, times, *, steps: int = 64,
                         t_near: float = 2.0, t_far: float = 6.0,
                         block_rays: int = DEFAULT_BLOCK_RAYS,
                         interpret: bool = False,
                         sigmoid_kind: str = "thin",
                         sky_kind: str = "black",
-                        spline_points: int = 0):
+                        spline_points: int = 0,
+                        enc_kind: str = "cp"):
   """Eval-mode fused D-NeRF render: rays [N, 6] + times [N] -> [N, 4]."""
-  ws = _cast_ws(_flatten_params_dyn(params))
+  ws = _cast_ws(_flatten_params_dyn(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
   ts = _linspace_ts(steps, t_near, t_far)
@@ -501,13 +533,13 @@ def fused_dyn_cp_render(params, rays, times, *, steps: int = 64,
                            steps=steps, block_rays=block_rays,
                            interpret=interpret, sigmoid_kind=sigmoid_kind,
                            sky_white=sky_kind == "white",
-                           spline_points=spline_points)
+                           spline_points=spline_points, enc_kind=enc_kind)
 
 
 @functools.lru_cache(maxsize=8)
 def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                           sigmoid_kind="thin", sky_white=False,
-                          spline_points=0, want_dp=False):
+                          spline_points=0, want_dp=False, enc_kind="cp"):
   """Custom-VJP fused D-NeRF render: (ws, rays, elaz, times, ts, dists)
   -> [N, 4|5]; gradients flow to the weights (incl. warp + rigidity)."""
 
@@ -518,7 +550,8 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
                              sky_white=sky_white,
-                             spline_points=spline_points, want_dp=want_dp)
+                             spline_points=spline_points, want_dp=want_dp,
+                             enc_kind=enc_kind)
 
   def fwd(ws, rays, elaz, times, ts, dists):
     return render(ws, rays, elaz, times, ts, dists), (ws, rays, elaz,
@@ -531,7 +564,8 @@ def _make_diff_dyn_render(steps, block_rays, bwd_block_rays, interpret,
                              interpret=interpret,
                              sigmoid_kind=sigmoid_kind,
                              sky_white=sky_white,
-                             spline_points=spline_points, want_dp=want_dp)
+                             spline_points=spline_points, want_dp=want_dp,
+                             enc_kind=enc_kind)
     dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
     return (dws, jnp.zeros_like(rays), jnp.zeros_like(elaz),
             jnp.zeros_like(times), jnp.zeros_like(ts),
@@ -550,12 +584,13 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
                               sigmoid_kind: str = "thin",
                               sky_kind: str = "black",
                               spline_points: int = 0,
-                              want_dp: bool = False):
+                              want_dp: bool = False,
+                              enc_kind: str = "cp"):
   """Differentiable fused D-NeRF render: rays [N, 6] + times [N] ->
   [N, 4] (rgb ‖ acc), or [N, 5] with want_dp (per-ray mean dp² column
   for the --dp-weight regularizer), with gradients w.r.t. `params` via
   the custom-VJP backward kernel."""
-  ws = tuple(_flatten_params_dyn(params))
+  ws = tuple(_flatten_params_dyn(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
   if ts is None:
@@ -564,7 +599,7 @@ def fused_dyn_cp_render_train(params, rays, times, ts=None, *,
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
                                  sky_kind == "white", spline_points,
-                                 want_dp)
+                                 want_dp, enc_kind)
   return render(ws, rays, elaz, times[:, None], ts, dists)
 
 
@@ -574,7 +609,7 @@ def fused_dyn_cp_render_train_sharded(
     block_rays: int = DEFAULT_BLOCK_RAYS,
     bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
     sigmoid_kind: str = "thin", sky_kind: str = "black",
-    spline_points: int = 0, want_dp: bool = False):
+    spline_points: int = 0, want_dp: bool = False, enc_kind: str = "cp"):
   """Multi-chip fused D-NeRF training render: rays + times shard over the
   mesh's data axis, weights replicate, weight cotangents psum over ICI
   via shard_map's transpose (same pattern as the static
@@ -586,7 +621,7 @@ def fused_dyn_cp_render_train_sharded(
   except ImportError:
     from jax.experimental.shard_map import shard_map
 
-  ws = tuple(_flatten_params_dyn(params))
+  ws = tuple(_flatten_params_dyn(params, enc_kind=enc_kind))
   from ...ops.math import dir_to_elev_azim
   elaz = dir_to_elev_azim(rays[:, 3:6])
   if ts is None:
@@ -595,7 +630,7 @@ def fused_dyn_cp_render_train_sharded(
   render = _make_diff_dyn_render(steps, block_rays, bwd_block_rays,
                                  interpret, sigmoid_kind,
                                  sky_kind == "white", spline_points,
-                                 want_dp)
+                                 want_dp, enc_kind)
 
   import inspect
   sig = inspect.signature(shard_map).parameters

@@ -324,14 +324,15 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
           or model.canonical_kind != "plain"
           or model.spline_points == 1
           or not model.with_rigidity or model.time_latent_size != 0
-          or ck.get("enc_kind", "cp") != "cp"
+          or ck.get("enc_kind", "cp") not in ("cp", "posenc")
           or ck.get("refl_kind", "view") != "view"
           or any(k not in allowed for k in ck)
           or ds.times is None or mesh is not None):
         return None
       from ..ops.pallas.render_dyn import (_flatten_params_dyn,
                                            fused_dyn_cp_render_train)
-      _flatten_params_dyn(params)
+      dyn_enc = ck.get("enc_kind", "cp")
+      _flatten_params_dyn(params, enc_kind=dyn_enc)
 
       want_dp = bool(cfg.reg_coeffs.get("delta_x"))
 
@@ -342,7 +343,8 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
             p, rays, t, ts, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
             sky_kind=model.sky_kind,
-            spline_points=model.spline_points, want_dp=want_dp)
+            spline_points=model.spline_points, want_dp=want_dp,
+            enc_kind=dyn_enc)
 
       return fn
 
@@ -676,7 +678,7 @@ def _fused_render_fn(model, params):
       if (model.mip is not None or model.canonical_kind != "plain"
           or model.spline_points == 1
           or not model.with_rigidity or model.time_latent_size != 0
-          or ck.get("enc_kind", "cp") != "cp"
+          or ck.get("enc_kind", "cp") not in ("cp", "posenc")
           or ck.get("refl_kind", "view") != "view"
           or any(k not in allowed_ck for k in ck)
           or model.sky_kind not in ("black", "white")
@@ -686,7 +688,8 @@ def _fused_render_fn(model, params):
       from ..ops.pallas.render import RENDER_BLOCK_RAYS
       from ..ops.pallas.render_dyn import (_flatten_params_dyn,
                                            fused_dyn_cp_render)
-      _flatten_params_dyn(params)  # raises on divergence
+      dyn_enc = ck.get("enc_kind", "cp")
+      _flatten_params_dyn(params, enc_kind=dyn_enc)  # raises on divergence
 
       def dyn_fn(p, rays_chunk, t_chunk):
         br = RENDER_BLOCK_RAYS
@@ -698,7 +701,7 @@ def _fused_render_fn(model, params):
             p, rc, tc, steps=model.steps, t_near=model.t_near,
             t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
             sky_kind=model.sky_kind,
-            spline_points=model.spline_points)
+            spline_points=model.spline_points, enc_kind=dyn_enc)
         return out[:n, :3]
 
       dyn_fn.needs_times = True

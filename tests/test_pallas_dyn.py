@@ -13,9 +13,9 @@ from nerf_atlas_tpu.ops.pallas.render_dyn import (
 pytestmark = pytest.mark.slow  # interpret-mode Pallas
 
 
-def _setup(n, steps, seed=0, spline_points=0):
+def _setup(n, steps, seed=0, spline_points=0, enc_kind="cp"):
   model = models.DynamicNeRF(
-      canonical_kind="plain", canonical_kwargs={"enc_kind": "cp"},
+      canonical_kind="plain", canonical_kwargs={"enc_kind": enc_kind},
       spline_points=spline_points, with_rigidity=True, steps=steps,
       t_near=2.0, t_far=6.0)
   key = jax.random.PRNGKey(seed)
@@ -39,13 +39,15 @@ def _setup(n, steps, seed=0, spline_points=0):
   return model, params, rays, times
 
 
-@pytest.mark.parametrize("spline", [0, 5])
-def test_fused_dyn_render_matches_oracle(spline):
-  model, params, rays, times = _setup(64, 16, spline_points=spline)
+@pytest.mark.parametrize("spline,enc_kind",
+                         [(0, "cp"), (5, "cp"), (0, "posenc")])
+def test_fused_dyn_render_matches_oracle(spline, enc_kind):
+  model, params, rays, times = _setup(64, 16, spline_points=spline,
+                                      enc_kind=enc_kind)
   oracle = model.apply(params, rays, times=times)
   fused = fused_dyn_cp_render(params, rays, times, steps=16, t_near=2.0,
                               t_far=6.0, block_rays=32, interpret=True,
-                              spline_points=spline)
+                              spline_points=spline, enc_kind=enc_kind)
   assert float(jnp.abs(oracle["dp"]).max()) > 1e-4  # warp is active
   np.testing.assert_allclose(np.asarray(fused[:, :3]),
                              np.asarray(oracle["rgb"]), atol=2e-2)
@@ -54,16 +56,19 @@ def test_fused_dyn_render_matches_oracle(spline):
                              atol=2e-2)
 
 
-@pytest.mark.parametrize("spline", [0, 5])
-def test_fused_dyn_grad_matches_oracle(spline):
-  model, params, rays, times = _setup(32, 16, seed=3, spline_points=spline)
+@pytest.mark.parametrize("spline,enc_kind",
+                         [(0, "cp"), (5, "cp"), (0, "posenc")])
+def test_fused_dyn_grad_matches_oracle(spline, enc_kind):
+  model, params, rays, times = _setup(32, 16, seed=3, spline_points=spline,
+                                      enc_kind=enc_kind)
   target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
 
   def loss_fused(p):
     out = fused_dyn_cp_render_train(p, rays, times, steps=16, t_near=2.0,
                                     t_far=6.0, block_rays=16,
                                     bwd_block_rays=16, interpret=True,
-                                    spline_points=spline)
+                                    spline_points=spline,
+                                    enc_kind=enc_kind)
     return (jnp.mean((out[:, :3] - target) ** 2)
             + jnp.mean((out[:, 3] - 0.7) ** 2))
 
@@ -80,6 +85,13 @@ def test_fused_dyn_grad_matches_oracle(spline):
   # same criteria as the static kernel's grad test: global relative
   # Frobenius error small, per-tensor direction right. The warp Fourier
   # basis is stop_gradient in the oracle -> both sides zero (skipped).
+  # posenc calibration: the warp cotangent folds back through frequency
+  # bands amplified up to 2^6 whose sin/cos derivative terms mostly
+  # cancel — at bf16 that cancellation is inherently noisy. Measured: a
+  # pure-XLA bf16 oracle lands at warp cosines 0.61-0.97 vs f32 on this
+  # config; the fused kernel (f32 fold-back dots, _posenc_bwd) measures
+  # 0.96-0.99 — BETTER than the bf16 oracle — so the warp/rigidity bar
+  # for posenc is 0.95, micro-norm tensors (<1e-4) direction-exempt.
   flat_f = jax.tree_util.tree_leaves_with_path(gf)
   flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
   num, den = 0.0, 0.0
@@ -95,9 +107,14 @@ def test_fused_dyn_grad_matches_oracle(spline):
       continue
     cos = (gf_n * go_n).sum() / max(
         np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
-    assert cos > 0.97, (jax.tree_util.keystr(path), cos)
     p_str = jax.tree_util.keystr(path)
-    if "warp" in p_str or "rigidity" in p_str:
+    is_warp = "warp" in p_str or "rigidity" in p_str
+    if enc_kind == "posenc" and is_warp:
+      if np.linalg.norm(go_n) >= 1e-4:
+        assert cos > 0.95, (p_str, cos)
+    else:
+      assert cos > 0.97, (p_str, cos)
+    if is_warp:
       warp_checked += 1
   assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
   # the dynamic path's whole point: warp + rigidity weights get real,
