@@ -58,6 +58,70 @@ def round_up(n: int, k: int) -> int:
   return ((n + k - 1) // k) * k
 
 
+def make_mesh_2d(n_model: int, n_data: Optional[int] = None) -> Mesh:
+  """2-D (data × model) mesh: batch shards over `data`, large parameter
+  tensors shard over `model` (see `model_shardings`).
+
+  The model axis is the TPU answer to parameters that outgrow one chip's
+  HBM — dense voxel grids and hash tables at high resolution (the
+  reference hits CUDA OOM there and can only shrink the grid;
+  /root/reference/src/nerf.py:1407-1470 keeps the whole grid on one
+  device). MLP weights in this zoo are small, so for them the model axis
+  is a demonstration of the sharding mechanics, not a memory necessity —
+  GSPMD inserts the all-gathers/reduce-scatters either way.
+  """
+  devs = jax.devices()
+  if n_data is None:
+    if len(devs) % n_model:
+      raise ValueError(f"{len(devs)} devices not divisible by model axis "
+                       f"{n_model}")
+    n_data = len(devs) // n_model
+  devs = devs[:n_data * n_model]
+  return Mesh(np.asarray(devs).reshape(n_data, n_model), ("data", "model"))
+
+
+def model_axis_size(mesh: Optional[Mesh]) -> int:
+  """Size of the `model` axis (1 for 1-D data meshes / no mesh)."""
+  if mesh is None:
+    return 1
+  return dict(mesh.shape).get("model", 1)
+
+
+def model_shardings(params, mesh: Mesh, min_shard_elems: int = 4096):
+  """Per-leaf NamedShardings over the `model` axis.
+
+  Rule: a leaf with at least `min_shard_elems` elements is partitioned on
+  its largest axis divisible by the model-axis size; everything else
+  (biases, scalars, small tables) replicates. Parameters never shard over
+  `data` — that axis belongs to the ray batch. The rule is shape-driven
+  rather than name-driven so it covers every model family in the zoo
+  (MLP kernels, CP factor lines, voxel grids, hash tables) without a
+  per-module registry.
+  """
+  n_model = model_axis_size(mesh)
+
+  def spec_for(leaf):
+    if n_model == 1 or leaf.ndim == 0 or leaf.size < min_shard_elems:
+      return P()
+    for ax in sorted(range(leaf.ndim), key=lambda a: -leaf.shape[a]):
+      if leaf.shape[ax] >= n_model and leaf.shape[ax] % n_model == 0:
+        spec = [None] * leaf.ndim
+        spec[ax] = "model"
+        return P(*spec)
+    return P()
+
+  return jax.tree.map(lambda l: NamedSharding(mesh, spec_for(l)), params)
+
+
+def place_model_parallel(params, mesh: Mesh,
+                         min_shard_elems: int = 4096):
+  """device_put `params` with `model_shardings`; returns committed arrays
+  so every jit that consumes them inherits the layout (GSPMD propagates
+  shardings from committed inputs — no in_shardings plumbing needed)."""
+  return jax.device_put(params, model_shardings(params, mesh,
+                                                min_shard_elems))
+
+
 def sharded_train_step(step_fn, mesh: Mesh, donate_state: bool = True):
   """jit `step_fn(params, opt_state, batch, key) -> (params, opt_state,
   metrics)` with params/opt replicated and batch sharded on `data`.

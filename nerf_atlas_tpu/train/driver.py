@@ -54,6 +54,9 @@ class TrainConfig:
   log_freq: int = 50
   duration_sec: float = 0.0
   use_mesh: bool = False
+  model_parallel: int = 1      # >1: 2-D (data × model) mesh; large param
+                               # tensors (voxel grids, hash tables, wide
+                               # kernels) shard over the model axis
   train_camera: bool = False   # optimize camera extrinsics jointly
   profile_dir: Optional[str] = None
   save_load_opt: bool = False  # checkpoint optimizer state too
@@ -151,6 +154,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
   evaluate separately). Returns fn(params, rays, times, key) -> [N, 4]
   or None (XLA oracle)."""
   try:
+    # model-parallel params are sharded over the mesh's `model` axis;
+    # the fused kernels expect whole weight tensors per chip, so a 2-D
+    # mesh routes through the oracle (GSPMD partitions it instead)
+    from ..parallel import model_axis_size
+    if model_axis_size(mesh) > 1:
+      return None
     from ..models import DynamicNeRF, PlainNeRF, VolSDF
     # the VolSDF kernel computes the eikonal residual in-kernel (its
     # dual analytic-grad path); volsdf_scale reads only the learned
@@ -370,7 +379,8 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
   if mesh is not None:
     from jax.sharding import NamedSharding, PartitionSpec
     batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
-    assert cfg.batch_size % mesh.size == 0, (cfg.batch_size, mesh.size)
+    n_data = dict(mesh.shape)["data"]  # batch shards over `data` only
+    assert cfg.batch_size % n_data == 0, (cfg.batch_size, n_data)
 
   style_fn = _make_style_fn(cfg)
 
@@ -540,14 +550,24 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
     # alive for sampling inside the step
     params = {"model": params,
               "camera": jax.tree.map(jnp.copy, ds.camera)}
-  opt_state = tx.init(params)
+  mesh = None
+  if cfg.model_parallel > 1 and jax.device_count() >= cfg.model_parallel \
+      and jax.device_count() % cfg.model_parallel == 0:
+    from ..parallel import make_mesh_2d, place_model_parallel
+    mesh = make_mesh_2d(cfg.model_parallel)
+    # committed sharded params: every jit consuming them inherits the
+    # model-axis layout, opt state included (jitted init propagates it)
+    params = place_model_parallel(params, mesh)
+    opt_state = jax.jit(tx.init)(params)
+  elif cfg.use_mesh and jax.device_count() > 1:
+    from ..parallel import make_mesh
+    mesh = make_mesh()
+    opt_state = tx.init(params)
+  else:
+    opt_state = tx.init(params)
   if opt_state_saved is not None:
     from flax import serialization
     opt_state = serialization.from_state_dict(opt_state, opt_state_saved)
-  mesh = None
-  if cfg.use_mesh and jax.device_count() > 1:
-    from ..parallel import make_mesh
-    mesh = make_mesh()
   fused_train = _fused_train_fn(
       model, cfg, ds, extra_kwargs,
       params["model"] if cfg.train_camera else params, mesh)

@@ -383,6 +383,10 @@ def arguments(argv=None):
   # parallelism
   a.add_argument("--mesh-devices", type=int, default=0,
                  help="devices in the data mesh (0 = all)")
+  a.add_argument("--model-parallel", type=int, default=1,
+                 help=">1: 2-D (data × model) mesh; large parameter "
+                      "tensors (voxel grids, hash tables) shard over the "
+                      "model axis (device_count must divide evenly)")
 
   # meta
   a.add_argument("--param-file", default=None,
@@ -733,6 +737,7 @@ def make_train_config(args):
       crop_size=crop_size,
       style_img=args.style_img, style_weight=args.style_img_weight,
       use_mesh=args.mesh_devices != 1,
+      model_parallel=args.model_parallel,
       weight_decay=args.decay,
       serial_idxs=args.serial_idxs,
       end_bias=args.higher_end_chance,

@@ -59,6 +59,7 @@ CFG_CASES = [
     (["--style-img", "s.png"], "style_img", "s.png"),
     (["--style-img-weight", "3.0"], "style_weight", 3.0),
     (["--mesh-devices", "1"], "use_mesh", False),
+    (["--model-parallel", "2"], "model_parallel", 2),
     (["--decay", "1e-4"], "weight_decay", 1e-4),
     (["--serial-idxs"], "serial_idxs", True),
     (["--higher-end-chance", "5"], "end_bias", 5),
