@@ -27,13 +27,22 @@ from .base import NeRFBase, broadcast_latent, view_per_sample
 
 
 class TinyNeRF(NeRFBase):
-  """Single MLP -> (sigma, rgb); no view dependence."""
+  """Single MLP -> (sigma, rgb); no view dependence.
+
+  mlp_kwargs overrides the MLP architecture — the TPU default is a
+  posenc'd 6×128; reference checkpoints import at the ref's native
+  dims (src/nerf.py:286-290: enc=None, 6×256, xavier) via
+  scripts/import_reference_ckpt.py."""
+  mlp_kwargs: Any = None
 
   def setup(self):
+    kw = dict(
+        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
+        num_layers=6, hidden_size=128)
+    kw.update(self.mlp_kwargs or {})
     self.mlp = SkipConnMLP(
         in_size=3, out=1 + 3, latent_size=self.latent_size,
-        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
-        num_layers=6, hidden_size=128, dtype=self.dtype)
+        dtype=self.dtype, **kw)
 
   def query(self, pts, view=None, latent=None, train: bool = False):
     out = self.mlp(pts, latent)
@@ -61,6 +70,9 @@ class PlainNeRF(NeRFBase):
   refl_space: str = "identity"
   enc_kind: str = "cp"
   refl_kwargs: Any = None
+  mlp_kwargs: Any = None   # density-MLP architecture overrides (the
+                           # reference-checkpoint importer uses the ref's
+                           # native 4×256, src/nerf.py:320-324)
 
   def setup(self):
     # with mip, the density MLP consumes IPE features (width 2*3*16 = 96
@@ -69,6 +81,11 @@ class PlainNeRF(NeRFBase):
       enc = None
     elif self.enc_kind == "hash":
       enc = HashEncoder()
+    elif self.enc_kind == "ref-hash":
+      # reference-exact hash grid (checkpoint transplant; see
+      # nn.RefHashEncoder for why new models shouldn't use it)
+      from ..nn import RefHashEncoder
+      enc = RefHashEncoder()
     elif self.enc_kind == "cp":
       from ..nn import CPEncoder
       enc = CPEncoder(dtype=self.dtype)
@@ -76,12 +93,14 @@ class PlainNeRF(NeRFBase):
       enc = PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=10)
     else:
       raise NotImplementedError(f"unknown enc kind {self.enc_kind}")
+    mlp_kw = dict(num_layers=5, hidden_size=256)
+    mlp_kw.update(self.mlp_kwargs or {})
     self.first = SkipConnMLP(
         in_size=3 if self.mip is None else 96,
         out=1 + self.intermediate_size,
         latent_size=self.latent_size,
-        enc=enc, num_layers=5, hidden_size=256, dtype=self.dtype,
-        name="density_mlp")
+        enc=enc, dtype=self.dtype,
+        name="density_mlp", **mlp_kw)
     self.refl = load_refl(
         self.refl_kind,
         latent_size=self.intermediate_size + self.latent_size,

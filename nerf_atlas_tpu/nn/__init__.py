@@ -15,6 +15,7 @@ from .encoders import (
     LearnedFourierEncoder,
     NNEncoder,
     PositionalEncoder,
+    RefHashEncoder,
 )
 from .mlp import SkipConnMLP
 from .conv import Discriminator, SpatialEncoder, UpdateOperator, Upsampler
@@ -23,7 +24,8 @@ from .misc import (EncodedGRU, MonteCarloUncertainty, PointNet,
 
 __all__ = [
     "PositionalEncoder", "FourierEncoder", "LearnedFourierEncoder",
-    "NNEncoder", "HashEncoder", "CPEncoder", "SkipConnMLP", "Upsampler",
+    "NNEncoder", "HashEncoder", "RefHashEncoder", "CPEncoder",
+    "SkipConnMLP", "Upsampler",
     "SpatialEncoder", "Discriminator", "UpdateOperator", "EncodedGRU",
     "PointNet", "gram_matrix", "StyleLoss", "MonteCarloUncertainty",
 ]

@@ -261,3 +261,76 @@ class HashEncoder(nn.Module):
     # [L, F, N] -> [N, L*F]
     out = jnp.moveaxis(out.reshape(L * F, -1), 0, -1)
     return out.reshape(batch + (L * F,)).astype(x.dtype)
+
+
+class RefHashEncoder(nn.Module):
+  """Reference-exact hash-grid encoder, for CHECKPOINT TRANSPLANT.
+
+  Reproduces the reference HashEncoder's semantics
+  (/root/reference/src/neural_blocks.py:92-194) so trained reference
+  checkpoints import losslessly (scripts/import_reference_ckpt.py) —
+  including its resolution-schedule bug: the reference computes
+  `scale = exp((log(hi) - log(lo)) / levels - 1)` (missing parentheses
+  around `levels - 1`), giving scale ≈ 0.875 < 1, so levels DESCEND
+  from 16 toward ~4 instead of ascending to 2^14. New models should use
+  `HashEncoder` (correct NGP schedule, dense-level injectivity) or the
+  MXU-native `CPEncoder`; this class exists to run the reference's
+  exact function.
+
+  Index math runs in uint32: residues mod the 2^16 table and xor low
+  bits are invariant to the reference's int64 widths (any integer's
+  residue mod 2^16 is its unsigned low 16 bits, products/xors preserve
+  low bits under wraparound).
+  """
+  levels: int = 8
+  emb_size: int = 1 << 16
+  feat_size: int = 4
+  low_reso: int = 1 << 4
+  high_reso: int = 1 << 14
+  include_input: bool = True
+
+  def size(self) -> int:
+    return self.levels * self.feat_size + 3 * int(self.include_input)
+
+  @nn.compact
+  def __call__(self, x):
+    L, T, F = self.levels, self.emb_size, self.feat_size
+    # one [L*T, F] table = the reference's L Embedding(T, F) modules,
+    # concatenated level-major (torch Embedding default init N(0, 1))
+    emb = self.param("emb", nn.initializers.normal(1.0), (L * T, F))
+    # the reference's buggy schedule, reproduced verbatim (f64 python
+    # floats, like torch's `low_reso * scale ** i`)
+    scale = math.exp(
+        (math.log(self.high_reso) - math.log(self.low_reso)) / L - 1)
+    batch = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    out = None
+    level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[:, None]
+    n_l = jnp.asarray([self.low_reso * scale ** i for i in range(L)],
+                      jnp.float32)[:, None]                       # [L, 1]
+    # [L, N] per axis (N in lanes)
+    vx, vy, vz = (xf[None, :, c] * n_l for c in range(3))
+    lx, ly, lz = jnp.floor(vx), jnp.floor(vy), jnp.floor(vz)
+    wx, wy, wz = vx - lx, vy - ly, vz - lz
+    lxu = lx.astype(jnp.int32).astype(jnp.uint32)
+    lyu = ly.astype(jnp.int32).astype(jnp.uint32)
+    lzu = lz.astype(jnp.int32).astype(jnp.uint32)
+    P0, P1, P2 = (jnp.uint32(p) for p in _PRIMES)
+    for c in range(8):  # static unroll, reference corner pairing
+      bx, by, bz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+      cx, cy, cz = lxu + jnp.uint32(bx), lyu + jnp.uint32(by), \
+          lzu + jnp.uint32(bz)
+      hashed = (cx * P0) ^ (cy * P1) ^ (cz * P2)   # no clamp, like the ref
+      idx = (hashed % jnp.uint32(T) + level_off).astype(jnp.int32)  # [L, N]
+      w = ((wx if bx else 1 - wx)
+           * (wy if by else 1 - wy)
+           * (wz if bz else 1 - wz))                               # [L, N]
+      contrib = jnp.stack(
+          [jnp.take(emb[:, f], idx, axis=0) * w for f in range(F)],
+          axis=1)                                                  # [L, F, N]
+      out = contrib if out is None else out + contrib
+    feats = jnp.moveaxis(out.reshape(L * F, -1), 0, -1)
+    feats = feats.reshape(batch + (L * F,)).astype(x.dtype)
+    if self.include_input:
+      return jnp.concatenate([x, feats], axis=-1)
+    return feats

@@ -105,8 +105,16 @@ class Positional(Reflectance):
 
 
 class View(Reflectance):
-  """Position + view direction (the default refl)."""
+  """Position + view direction (the default refl).
+
+  The TPU-tuned default is a 128-wide siren (the fused kernel's refl
+  stream); hidden_size/num_layers/siren_w0 are exposed so reference
+  checkpoints import at their native dims (ref src/refl.py:190-207:
+  4×256, plain torch.sin = w0 1.0)."""
   space: str = "identity"
+  hidden_size: int = 128
+  num_layers: int = 5
+  siren_w0: float = 30.0
 
   @property
   def can_use_view(self):
@@ -121,7 +129,8 @@ class View(Reflectance):
     mlp = SkipConnMLP(
         in_size=inp.shape[-1], out=self.out_features,
         latent_size=self.latent_size, init_kind="siren",
-        num_layers=5, hidden_size=128, name="mlp")
+        num_layers=self.num_layers, hidden_size=self.hidden_size,
+        siren_w0=self.siren_w0, name="mlp")
     return self._finish(mlp(inp, latent))
 
 

@@ -297,6 +297,10 @@ def arguments(argv=None):
   a.add_argument("--log", default="log.json",
                  help="file name for the resolved-config dump")
   a.add_argument("--load", default=None, help="checkpoint to restore/graft")
+  a.add_argument("--ref-compat", action="store_true",
+                 help="build the model at the PyTorch reference's native "
+                      "architecture dims so checkpoints imported by "
+                      "scripts/import_reference_ckpt.py graft exactly")
   a.add_argument("--save-load-opt", action="store_true",
                  help="checkpoint and restore optimizer state too")
   a.add_argument("--cam-save-load", default=None,
@@ -445,6 +449,15 @@ def build_model(args, dynamic: bool):
       kwargs["refl_space"] = args.space_kind
       if refl_kwargs:
         kwargs["refl_kwargs"] = refl_kwargs
+      if args.ref_compat:
+        # the reference's native dims, so checkpoints imported by
+        # scripts/import_reference_ckpt.py graft exactly (ref
+        # src/nerf.py:320-324 density 4x256 hash; src/refl.py:190-207
+        # View 4x256 plain-sin)
+        kwargs["enc_kind"] = "ref-hash"
+        kwargs["mlp_kwargs"] = dict(num_layers=4, hidden_size=256)
+        kwargs["refl_kwargs"] = dict(refl_kwargs or {}, hidden_size=256,
+                                     num_layers=4, siren_w0=1.0)
   elif kind == "ae":
     kwargs.update(refl_kind=args.refl_kind,
                   encoding_size=args.encoding_size,

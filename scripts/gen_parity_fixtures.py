@@ -213,6 +213,18 @@ def main(ref_path: str = "/root/reference"):
   fx["mlp_fourier_basis"] = enc.basis.detach().numpy()
   dump_mlp("fourier", mlp, (xin,))
 
+  # ---- HashEncoder (src/neural_blocks.py:92-194) -----------------------
+  # small table so the committed npz stays compact; the uint32 index math
+  # under test is size-independent. Includes negative coords (the
+  # reference floors/hashes them without clamping).
+  torch.manual_seed(11)
+  he = rblocks.HashEncoder(emb_size=1 << 10, feat_size=2, levels=4)
+  xh = torch.randn(37, 3, generator=g) * 1.5
+  with torch.no_grad():
+    hout = he(xh)
+  fx["hash_emb"] = np.stack([e.weight.detach().numpy() for e in he.embs])
+  put("hash_io", xh, hout)
+
   os.makedirs(os.path.dirname(OUT), exist_ok=True)
   np.savez_compressed(OUT, **fx)
   print(f"wrote {OUT}: {len(fx)} arrays")

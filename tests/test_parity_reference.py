@@ -326,3 +326,21 @@ def test_skipconnmlp_transplant_fourier_enc(fx):
   p["enc"] = {"B": jnp.asarray(basis / (2 * np.pi))}
   out = mlp.apply({"params": p}, jnp.asarray(fx["mlp_fourier_io_0"]))
   close(out, fx["mlp_fourier_io_1"], tol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HashEncoder (reference src/neural_blocks.py:92-194) — transplant parity
+# ---------------------------------------------------------------------------
+
+def test_ref_hash_encoder_transplant(fx):
+  """The reference's hash tables, moved into RefHashEncoder, reproduce its
+  outputs exactly — including its descending-resolution schedule bug and
+  signed-coordinate hashing (negative floors xor'd and mod'd like torch
+  int64; our uint32 math is residue-identical)."""
+  from nerf_atlas_tpu.nn import RefHashEncoder
+  emb = fx["hash_emb"]                       # [levels, T, F]
+  enc = RefHashEncoder(levels=emb.shape[0], emb_size=emb.shape[1],
+                       feat_size=emb.shape[2])
+  params = {"params": {"emb": jnp.asarray(emb.reshape(-1, emb.shape[-1]))}}
+  out = enc.apply(params, jnp.asarray(fx["hash_io_0"]))
+  close(out, fx["hash_io_1"], tol=1e-5)
