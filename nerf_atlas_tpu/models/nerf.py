@@ -26,6 +26,17 @@ from ..refl import load_refl
 from .base import NeRFBase, broadcast_latent, view_per_sample
 
 
+def _fresh_enc(kw):
+  """Clone an encoder module arriving via a kwargs dict: flax registers
+  module instances living in dataclass fields as children of the PARENT
+  (named `<field>_enc`), not of the MLP they're passed to — a fresh
+  unbound clone created in setup nests under the MLP as intended."""
+  enc = kw.get("enc")
+  if isinstance(enc, nn.Module):
+    kw = dict(kw, enc=enc.clone())
+  return kw
+
+
 class TinyNeRF(NeRFBase):
   """Single MLP -> (sigma, rgb); no view dependence.
 
@@ -40,6 +51,7 @@ class TinyNeRF(NeRFBase):
         enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
         num_layers=6, hidden_size=128)
     kw.update(self.mlp_kwargs or {})
+    kw = _fresh_enc(kw)
     self.mlp = SkipConnMLP(
         in_size=3, out=1 + 3, latent_size=self.latent_size,
         dtype=self.dtype, **kw)
@@ -133,20 +145,28 @@ class NeRFAE(NeRFBase):
   refl_kind: str = "view"
   encoding_size: int = 32
   normalize_latent: bool = True
+  enc_mlp_kwargs: Any = None      # architecture overrides for checkpoint
+  density_mlp_kwargs: Any = None  # import at the reference's native dims
+  refl_kwargs: Any = None         # (ref src/nerf.py:784-793)
 
   def setup(self):
+    ekw = dict(
+        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
+        num_layers=5, hidden_size=256)
+    ekw.update(self.enc_mlp_kwargs or {})
+    ekw = _fresh_enc(ekw)
     self.encoder = SkipConnMLP(
         in_size=3, out=self.encoding_size, latent_size=self.latent_size,
-        enc=PositionalEncoder(input_dims=3, max_freq_log2=6, num_freqs=8),
-        num_layers=5, hidden_size=256, dtype=self.dtype, name="encode")
+        dtype=self.dtype, name="encode", **ekw)
+    dkw = dict(num_layers=4, hidden_size=128)
+    dkw.update(self.density_mlp_kwargs or {})
     self.density_tfm = SkipConnMLP(
         in_size=self.encoding_size, out=1 + self.intermediate_size,
-        num_layers=4, hidden_size=128, dtype=self.dtype,
-        name="density_tfm")
+        dtype=self.dtype, name="density_tfm", **dkw)
     self.refl = load_refl(
         self.refl_kind,
         latent_size=self.encoding_size + self.intermediate_size,
-        act=self.sigmoid_kind)
+        act=self.sigmoid_kind, **(self.refl_kwargs or {}))
 
   def encode(self, pts, latent=None):
     enc = self.encoder(pts, latent)

@@ -462,6 +462,14 @@ def build_model(args, dynamic: bool):
     kwargs.update(refl_kind=args.refl_kind,
                   encoding_size=args.encoding_size,
                   normalize_latent=args.normalize_latent)
+    if args.ref_compat:
+      # ref src/nerf.py:784-793 + src/refl.py:190-207 native dims
+      from nerf_atlas_tpu.nn import FourierEncoder
+      kwargs.update(
+          enc_mlp_kwargs=dict(enc=FourierEncoder(input_dims=3, freqs=128),
+                              num_layers=5, hidden_size=128, skip=3),
+          density_mlp_kwargs=dict(num_layers=5, hidden_size=64, skip=3),
+          refl_kwargs=dict(hidden_size=256, num_layers=4, siren_w0=1.0))
   elif kind == "volsdf":
     kwargs.update(sdf_kind=args.sdf_kind, refl_kind=args.refl_kind,
                   occ_kind=args.occ_kind,

@@ -13,10 +13,14 @@ Supported model classes (transplant is exact; parity pinned by
 tests/test_import_reference.py):
   * PlainNeRF       (ref src/nerf.py:310-361; hash enc via RefHashEncoder,
                      View refl via refl.View at 4x256 plain-sin)
-(The reference's TinyNeRF cannot be imported because it cannot be
-SAVED: its constructor crashes upstream — CommonNeRF.set_sigmoid
-touches `self.refl`, which TinyNeRF never sets (ref src/nerf.py:216-219,
-285) — so no TinyNeRF checkpoints exist to import.)
+  * NeRFAE          (ref src/nerf.py:766-840; Fourier encode MLP +
+                     density transform + View refl)
+(TinyNeRF and VolSDF cannot be imported because they cannot be SAVED:
+both constructors crash upstream — CommonNeRF.set_sigmoid touches
+`self.refl`, which TinyNeRF never sets (ref src/nerf.py:216-219, 285),
+and VolSDF.__init__ reads the undefined name `with_transmission` (its
+parameter is spelled `w_transmission`, ref src/nerf.py:875, 895) — so
+no checkpoints of either exist to import. Pinned by tests.)
 
 Usage:
   python scripts/import_reference_ckpt.py REF.pt OUT.ckpt [--verify]
@@ -128,10 +132,29 @@ def import_model(ref):
     params = {"params": {"density_mlp": dp, "refl": {"mlp": rp}}}
     cfg = dict(model="plain", enc_kind="ref-hash", ref_compat=True,
                intermediate_size=inter, **_common_kwargs(ref))
+  elif kind == "NeRFAE":
+    ep, ekw, _ = import_skipconn(ref.encode)
+    dp, dkw, _ = import_skipconn(ref.density_tform)
+    rp, rkw, _ = import_skipconn(ref.refl.mlp)
+    inter = int(ref.intermediate_size)
+    model = models.NeRFAE(
+        encoding_size=int(ref.encoding_size), intermediate_size=inter,
+        normalize_latent=bool(ref.normalize_latent),
+        enc_mlp_kwargs=ekw,
+        density_mlp_kwargs={k: v for k, v in dkw.items() if k != "enc"},
+        refl_kwargs=dict(hidden_size=rkw["hidden_size"],
+                         num_layers=rkw["num_layers"], siren_w0=1.0),
+        **_common_kwargs(ref))
+    params = {"params": {"encode": ep, "density_tfm": dp,
+                         "refl": {"mlp": rp}}}
+    cfg = dict(model="ae", ref_compat=True,
+               encoding_size=int(ref.encoding_size),
+               normalize_latent=bool(ref.normalize_latent),
+               intermediate_size=inter, **_common_kwargs(ref))
   else:
     raise NotImplementedError(
         f"reference model {kind} not supported for import yet "
-        f"(supported: PlainNeRF)")
+        f"(supported: PlainNeRF, NeRFAE)")
   return model, params, cfg
 
 

@@ -75,9 +75,32 @@ def test_reference_tiny_is_unsaveable(imp):
     rnerf.TinyNeRF(steps=12, t_near=2.0, t_far=6.0)
 
 
+def test_reference_volsdf_is_unsaveable(imp):
+  """Same situation for VolSDF: its constructor reads the undefined name
+  `with_transmission` (the parameter is `w_transmission`, ref
+  src/nerf.py:875, 895) — no reference VolSDF checkpoint can exist."""
+  from src import march as rmarch, nerf as rnerf, refl as rrefl
+  from src import sdf as rsdf
+  m = rsdf.MLP()
+  s = rsdf.SDF(m, rrefl.View(out_features=3,
+                             latent_size=m.intermediate_size),
+               isect=rmarch.load_intersection_kind("bisect"),
+               t_near=2.0, t_far=6.0)
+  with pytest.raises(NameError):
+    rnerf.VolSDF(s, steps=12, t_near=2.0, t_far=6.0)
+
+
 def test_import_plain_hash(imp, tmp_path):
   from src import nerf as rnerf
   ref = rnerf.PlainNeRF(steps=12, t_near=2.0, t_far=6.0)
   _roundtrip(imp, ref, tmp_path,
              ["--model", "plain", "--ref-compat", "--steps", "12",
+              "--near", "2", "--far", "6"])
+
+
+def test_import_ae(imp, tmp_path):
+  from src import nerf as rnerf
+  ref = rnerf.NeRFAE(steps=12, t_near=2.0, t_far=6.0)
+  _roundtrip(imp, ref, tmp_path,
+             ["--model", "ae", "--ref-compat", "--steps", "12",
               "--near", "2", "--far", "6"])
