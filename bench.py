@@ -174,6 +174,11 @@ def _config_model(kind):
     # the classic NeRF frequency encoder (the reference's
     # PositionalEncoder; its `plain` default is the hash grid)
     return models.PlainNeRF(enc_kind="posenc", **common), False
+  if kind == "hash":
+    # the reference's DEFAULT PlainNeRF encoder (NGP hash grid,
+    # src/neural_blocks.py:92-193) — hybrid fused path: XLA gather +
+    # fused downstream kernel
+    return models.PlainNeRF(enc_kind="hash", **common), False
   if kind == "coarse_fine":
     return models.CoarseFineNeRF(enc_kind="cp", fine_steps=STEPS,
                                  **common), False
@@ -242,6 +247,12 @@ def bench_config_train(kind, fused=False, n=15):
         rgb = fused_plain_cp_render_train(p, rays, ts, enc_kind="posenc",
                                           steps=STEPS, t_near=2.0,
                                           t_far=6.0)[:, :3]
+      elif fused and kind == "hash":
+        from nerf_atlas_tpu.ops.pallas.render import (
+            fused_plain_hash_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_plain_hash_render_train(p, rays, ts, steps=STEPS,
+                                            t_near=2.0, t_far=6.0)[:, :3]
       elif fused and kind == "coarse_fine":
         from nerf_atlas_tpu.ops.pallas.render import fused_coarse_fine_train
         k_ts, k_pdf = jax.random.split(k)
@@ -307,9 +318,9 @@ def _per_config_table(baseline_table):
   per-config CPU measurement when available."""
   table = {}
   for kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-               "coarse_fine", "posenc"):
+               "coarse_fine", "posenc", "hash"):
     entry = {}
-    oracle_kinds = ("tiny", "ae", "volsdf", "dnerf")
+    oracle_kinds = ("tiny", "ae", "volsdf", "dnerf", "hash")
     try:
       if kind in oracle_kinds:
         entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
@@ -317,7 +328,7 @@ def _per_config_table(baseline_table):
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
     if kind in ("ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-                "coarse_fine", "posenc"):
+                "coarse_fine", "posenc", "hash"):
       try:
         entry["train_rays_per_sec_fused"] = round(
             bench_config_train(kind, fused=True), 1)
@@ -329,7 +340,7 @@ def _per_config_table(baseline_table):
       # is the reference's plain recipe
       entry["baseline_note"] = "vs the reference's plain recipe"
     ref = baseline_table.get(
-        "plain" if kind in ("mip", "coarse_fine", "posenc")
+        "plain" if kind in ("mip", "coarse_fine", "posenc", "hash")
         else ("dnerf" if kind == "dnerf_spline" else kind))
     best = (entry.get("train_rays_per_sec_fused")
             or entry.get("train_rays_per_sec"))

@@ -568,10 +568,16 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   1e10 tail), host-computed — [1, T] is the shared (stratified) grid, a
   [B, T] block carries per-ray samples (hierarchical fine pass).
 
-  enc_kind: "cp" (packed hat-basis CP volume) or "cone"/"cylinder"
-  (MipNeRF IPE features, no encoder params). want_weights additionally
+  enc_kind: "cp" (packed hat-basis CP volume), "cone"/"cylinder"
+  (MipNeRF IPE features, no encoder params), "posenc" (closed-form
+  frequency bands), or "hash" (hybrid NGP path: the hash-grid gather runs
+  in XLA — the 33 MB table cannot live in VMEM — and its per-sample
+  features arrive as an extra [P, F] input stream; everything downstream
+  of the gather is fused). want_weights additionally
   writes the per-ray compositing weights [B, T] (for inverse-CDF
   importance sampling; gradients do NOT flow through this output)."""
+  if enc_kind == "hash":
+    feat_ref, refs = refs[0], refs[1:]
   n_out = 2 if want_weights else 1
   out_ref = refs[-n_out]
   wrefs = refs[:-n_out]
@@ -604,6 +610,11 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
     # ---- classic NeRF frequency bands (parameter-free, closed-form) ----
     init_feat = jnp.concatenate(
         [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
+  elif enc_kind == "hash":
+    # ---- NGP hash grid: features precomputed by the XLA gather ----
+    init_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16), feat_ref[:, :].astype(jnp.bfloat16)],
+        axis=-1)
   else:
     # ---- MipNeRF IPE: features REPLACE the encoded input entirely ----
     init_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
@@ -681,7 +692,7 @@ def _ts_spec(ts, steps, block_rays):
 
 def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
                   interpret, sigmoid_kind="thin", sky_white=False,
-                  enc_kind="cp", want_weights=False):
+                  enc_kind="cp", want_weights=False, feats=None):
   if enc_kind == "cp":
     # forward consumes the CP lines pre-packed into one block-diagonal
     # tensor (the backward kernel keeps the per-level layout for its
@@ -702,6 +713,14 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
                            memory_space=pltpu.VMEM),
               _ts_spec(ts, steps, block_rays),
               _ts_spec(dists, steps, block_rays)]
+  extra_in = ()
+  if enc_kind == "hash":
+    assert feats is not None and feats.shape[0] == N * steps, (
+        feats.shape, N, steps)
+    in_specs.append(pl.BlockSpec((block_rays * steps, feats.shape[-1]),
+                                 lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    extra_in = (feats,)
   for w in ws:
     in_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd,
@@ -725,7 +744,7 @@ def _forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
       # 128MB VMEM/core
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(rays, elaz, ts, dists, *ws)
+  )(rays, elaz, ts, dists, *extra_in, *ws)
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
@@ -830,9 +849,16 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   for enc_kind "cp", packed_ref is the [3, 240, 32] block-diagonal CP
   lines (same packing as the forward kernel) — gradients still scatter to
   the per-level [3, R, K] grefs. Mip kinds carry no packed tensor and no
-  encoder gradients (IPE is closed-form)."""
+  encoder gradients (IPE is closed-form). enc_kind "hash" leads with the
+  precomputed [P, F] feature stream and trails with a [P, F] feature-
+  cotangent output — XLA chains it through the hash-gather VJP (the
+  trilinear scatter-add grad of the 33 MB table stays out of VMEM)."""
+  feat_ref = dfeat_ref = None
   if enc_kind == "cp":
     packed_ref, refs = refs[0], refs[1:]
+  elif enc_kind == "hash":
+    feat_ref, refs = refs[0], refs[1:]
+    dfeat_ref, refs = refs[-1], refs[:-1]
   nw = _n_ws(enc_kind)
   wrefs = refs[:nw]
   grefs = refs[nw:]
@@ -881,6 +907,10 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   elif enc_kind == "posenc":
     d_feat = jnp.concatenate(
         [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
+  elif enc_kind == "hash":
+    d_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16), feat_ref[:, :].astype(jnp.bfloat16)],
+        axis=-1)
   else:
     d_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
 
@@ -937,13 +967,17 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                            + dl[r0:r0 + R, k0:k0 + CP_RANK])
         r0 += R
         k0 += CP_RANK
+  elif enc_kind == "hash":
+    # hand the encoder cotangent back to XLA (raw-pts grad discarded,
+    # consistent with the weights-only contract of this VJP)
+    dfeat_ref[:, :] = d_featg[:, IN_DIM:].astype(jnp.float32)
   # mip/IPE + posenc: the feature stream has no params and rays carry no
   # gradient on this path, so d_featg is fully discarded
 
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                    interpret, sigmoid_kind="thin", sky_white=False,
-                   enc_kind="cp"):
+                   enc_kind="cp", feats=None):
   extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
@@ -965,6 +999,12 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
     extra = (packed,)
     in_specs.append(pl.BlockSpec(packed.shape, lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM))
+  elif enc_kind == "hash":
+    assert feats is not None and feats.shape[0] == N * steps
+    extra = (feats,)
+    in_specs.append(pl.BlockSpec((block_rays * steps, feats.shape[-1]),
+                                 lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
   out_specs, out_shapes = [], []
   for w in ws:
     in_specs.append(pl.BlockSpec(
@@ -974,6 +1014,13 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
         w.shape, lambda i, nd=w.ndim: (0,) * nd,
         memory_space=pltpu.VMEM))
     out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+  if enc_kind == "hash":
+    # per-block feature cotangent (written, not accumulated)
+    out_specs.append(pl.BlockSpec((block_rays * steps, feats.shape[-1]),
+                                  lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shapes.append(
+        jax.ShapeDtypeStruct((N * steps, feats.shape[-1]), jnp.float32))
   return pl.pallas_call(
       kernel,
       grid=grid,
@@ -1105,6 +1152,199 @@ def fused_plain_cp_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(ws, rays, elaz, ts, dists)
+
+
+# ---------------------------------------------------------------------------
+# NGP hash-grid envelope (hybrid): PlainNeRF(enc_kind="hash") — the
+# reference's DEFAULT PlainNeRF encoder (src/neural_blocks.py:92-193,
+# consumed at src/nerf.py:310-361). The 8-level table is L·T·F = 8·2^19·2
+# floats ≈ 33 MB: it cannot sit resident in VMEM, and a per-block HBM
+# gather inside the kernel would serialize on dynamic addresses — exactly
+# what XLA's gather engine already pipelines well. So the TPU-native
+# split is: XLA runs the trilinear hash gather (forward) and its
+# scatter-add transpose (backward); the Pallas kernel fuses EVERYTHING
+# downstream — density MLP, view refl, sin activations, compositing —
+# and hands the [P, F] feature cotangent back through the custom VJP.
+# ---------------------------------------------------------------------------
+
+
+def _hash_apply(table, pts_flat):
+  """Differentiable XLA hash-grid encode: [P, 3] -> [P, 16] (default
+  HashEncoder config — the only one PlainNeRF constructs)."""
+  from ...nn.encoders import HashEncoder
+  return HashEncoder().apply({"params": {"table": table}}, pts_flat)
+
+
+def _hash_pts(rays, ts, steps):
+  """Sample points [N*T, 3], the exact formula the kernel uses in-VMEM
+  (the gather must address the same positions the fused MLP consumes)."""
+  r_o, r_d = rays[:, 0:3], rays[:, 3:6]
+  ts_b = jnp.broadcast_to(ts, (rays.shape[0], steps))
+  return (r_o[:, None, :] + ts_b[:, :, None] * r_d[:, None, :]
+          ).reshape(-1, 3)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_diff_render_hash(steps, block_rays, bwd_block_rays, interpret,
+                           sigmoid_kind="thin", sky_white=False):
+  """Custom-VJP fused render with an explicit differentiable feature
+  input: (ws, feats, rays, elaz, ts, dists) -> [N, 4]. Gradients flow to
+  the MLP weights (backward kernel) AND to `feats` (the [P, F] cotangent
+  the backward kernel emits) — composing with `_hash_apply` gives the
+  hash table its gradient through XLA's gather transpose."""
+
+  def _bf(ws):
+    return tuple(
+        w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+        for w in ws)
+
+  @jax.custom_vjp
+  def render(ws, feats, rays, elaz, ts, dists):
+    return _forward_call(_bf(ws), rays, elaz, ts, dists, steps=steps,
+                         block_rays=block_rays, interpret=interpret,
+                         sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                         enc_kind="hash", feats=feats)
+
+  def fwd(ws, feats, rays, elaz, ts, dists):
+    return render(ws, feats, rays, elaz, ts, dists), (
+        ws, feats, rays, elaz, ts, dists)
+
+  def bwd(res, g):
+    ws, feats, rays, elaz, ts, dists = res
+    outs = _backward_call(_bf(ws), rays, elaz, ts, dists, g, steps=steps,
+                          block_rays=bwd_block_rays, interpret=interpret,
+                          sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                          enc_kind="hash", feats=feats)
+    dws, dfeat = tuple(outs[:-1]), outs[-1]
+    dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+    return (dws, dfeat, jnp.zeros_like(rays), jnp.zeros_like(elaz),
+            jnp.zeros_like(ts), jnp.zeros_like(dists))
+
+  render.defvjp(fwd, bwd)
+  return render
+
+
+def _hash_table(params):
+  return params["params"]["density_mlp"]["enc"]["table"]
+
+
+def fused_plain_hash_render_train(params, rays, ts=None, *,
+                                  steps: int = 64, t_near: float = 2.0,
+                                  t_far: float = 6.0,
+                                  block_rays: int = DEFAULT_BLOCK_RAYS,
+                                  bwd_block_rays: int = BWD_BLOCK_RAYS,
+                                  interpret: bool = False,
+                                  sigmoid_kind: str = "thin",
+                                  sky_kind: str = "black"):
+  """Differentiable hybrid render for PlainNeRF(enc_kind="hash"): the
+  hash gather runs (and backprops) in XLA, the rest in the fused kernel.
+  Gradients reach BOTH the MLP weights and the hash table."""
+  ws = tuple(_flatten_params(params, enc_kind="hash"))
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  feats = _hash_apply(_hash_table(params), _hash_pts(rays, ts, steps))
+  render = _make_diff_render_hash(steps, block_rays, bwd_block_rays,
+                                  interpret, sigmoid_kind,
+                                  sky_kind == "white")
+  return render(ws, feats, rays, elaz, ts, dists)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "t_near", "t_far",
+                                             "block_rays", "interpret",
+                                             "sigmoid_kind", "sky_kind",
+                                             "chunk_rays"))
+def fused_plain_hash_render(params, rays, *, steps: int = 64,
+                            t_near: float = 2.0, t_far: float = 6.0,
+                            block_rays: int = RENDER_BLOCK_RAYS,
+                            interpret: bool = False,
+                            sigmoid_kind: str = "thin",
+                            sky_kind: str = "black",
+                            chunk_rays: int = 65536):
+  """Eval render for the hash envelope. Rays are processed in
+  `chunk_rays` chunks (lax.map) so the materialized feature stream stays
+  bounded (a full 800x800 frame at 64 steps would be 2.6 GB of HBM
+  features; one 65536-ray chunk is 268 MB)."""
+  assert chunk_rays % block_rays == 0, (chunk_rays, block_rays)
+  ws = tuple(
+      w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+      for w in _flatten_params(params, enc_kind="hash"))
+  table = _hash_table(params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+
+  def run(rs, el):
+    feats = _hash_apply(table, _hash_pts(rs, ts, steps))
+    return _forward_call(ws, rs, el, ts, dists, steps=steps,
+                         block_rays=block_rays, interpret=interpret,
+                         sigmoid_kind=sigmoid_kind,
+                         sky_white=sky_kind == "white",
+                         enc_kind="hash", feats=feats)
+
+  N = rays.shape[0]
+  if N <= chunk_rays:
+    return run(rays, elaz)
+  pad = (-N) % chunk_rays
+  if pad:
+    # unit-z padding rays: zero direction would NaN the elaz math
+    dummy = jnp.concatenate(
+        [jnp.zeros((pad, 3)),
+         jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))], axis=-1)
+    rays = jnp.concatenate([rays, dummy], axis=0)
+    elaz = jnp.concatenate([elaz, jnp.zeros((pad, 2))], axis=0)
+  out = jax.lax.map(
+      lambda ab: run(ab[0], ab[1]),
+      (rays.reshape(-1, chunk_rays, 6), elaz.reshape(-1, chunk_rays, 2)))
+  return out.reshape(-1, 4)[:N]
+
+
+def fused_plain_hash_render_train_sharded(
+    params, rays, ts=None, *, mesh, axis: str = "data", steps: int = 64,
+    t_near: float = 2.0, t_far: float = 6.0,
+    block_rays: int = DEFAULT_BLOCK_RAYS,
+    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
+    sigmoid_kind: str = "thin", sky_kind: str = "black"):
+  """Multi-chip hash-envelope training render: rays shard over the data
+  axis, the MLP weights AND the hash table replicate; each chip gathers
+  its own shard's features in XLA and runs the fused kernel. shard_map's
+  transpose psums both the weight cotangents and the table cotangent
+  (the scatter-add gather transpose) over ICI."""
+  from jax.sharding import PartitionSpec as P
+  try:
+    from jax import shard_map  # jax >= 0.8
+  except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+  ws = tuple(_flatten_params(params, enc_kind="hash"))
+  table = _hash_table(params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  render = _make_diff_render_hash(steps, block_rays, bwd_block_rays,
+                                  interpret, sigmoid_kind,
+                                  sky_kind == "white")
+
+  def local(ws_, table_, rays_, elaz_, ts_, dists_):
+    feats = _hash_apply(table_, _hash_pts(rays_, ts_, steps))
+    return render(ws_, feats, rays_, elaz_, ts_, dists_)
+
+  import inspect
+  sig = inspect.signature(shard_map).parameters
+  no_check = ({"check_vma": False} if "check_vma" in sig
+              else {"check_rep": False})
+  smapped = shard_map(
+      local,
+      mesh=mesh,
+      in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+      out_specs=P(axis),
+      **no_check)
+  return smapped(ws, table, rays, elaz, ts, dists)
 
 
 # ---------------------------------------------------------------------------

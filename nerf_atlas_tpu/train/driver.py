@@ -175,15 +175,20 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     from ..models import CoarseFineNeRF
     if isinstance(model, PlainNeRF):
       # with mip set, the IPE envelope replaces the spatial encoder
-      # (BASELINE config #2's feature path); otherwise cp (flagship) and
-      # posenc (the classic NeRF frequency bands) are in-kernel
-      if ((model.mip is None and model.enc_kind not in ("cp", "posenc"))
+      # (BASELINE config #2's feature path); otherwise cp (flagship),
+      # posenc (the classic NeRF frequency bands) and hash (the
+      # reference's DEFAULT PlainNeRF encoder — hybrid: XLA gather +
+      # fused downstream kernel) are covered
+      if ((model.mip is None
+           and model.enc_kind not in ("cp", "posenc", "hash"))
           or model.refl_kind != "view"
           or model.intermediate_size != 32
           or model.refl_space != "identity" or ds.times is not None):
         return None
       from ..ops.pallas.render import (fused_plain_cp_render_train,
                                        fused_plain_cp_render_train_sharded,
+                                       fused_plain_hash_render_train,
+                                       fused_plain_hash_render_train_sharded,
                                        fused_plain_mip_render_train,
                                        _flatten_params)
       enc_kind = model.mip or model.enc_kind
@@ -192,6 +197,10 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
           or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
         return None
       _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+      if enc_kind == "hash":
+        # default-config HashEncoder only (the kernel's XLA-side gather
+        # reconstructs it; RefHashEncoder checkpoints stay on the oracle)
+        params["params"]["density_mlp"]["enc"]["table"]
 
       def fn(p, rays, t, key):
         # shared stratified jitter, matching the oracle's train-time ts
@@ -200,11 +209,21 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         if mesh is not None:
           # multi-chip: shard rays over the data axis, run the kernel
           # per-chip, psum the weight cotangents via shard_map's transpose
+          if enc_kind == "hash":
+            return fused_plain_hash_render_train_sharded(
+                p, rays, ts, mesh=mesh, steps=model.steps,
+                t_near=model.t_near, t_far=model.t_far,
+                sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind)
           return fused_plain_cp_render_train_sharded(
               p, rays, ts, mesh=mesh, steps=model.steps,
               t_near=model.t_near, t_far=model.t_far,
               sigmoid_kind=model.sigmoid_kind, sky_kind=model.sky_kind,
               enc_kind=enc_kind)
+        if enc_kind == "hash":
+          return fused_plain_hash_render_train(
+              p, rays, ts, steps=model.steps, t_near=model.t_near,
+              t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+              sky_kind=model.sky_kind)
         if model.mip is not None:
           return fused_plain_mip_render_train(
               p, rays, ts, mip_kind=model.mip, steps=model.steps,
@@ -760,9 +779,10 @@ def _fused_render_fn(model, params):
       return vs_fn
     is_cf = isinstance(model, CoarseFineNeRF)
     is_ae = isinstance(model, NeRFAE)
+    plain_encs = ("cp", "posenc") if is_cf else ("cp", "posenc", "hash")
     if ((not isinstance(model, PlainNeRF) and not is_cf and not is_ae)
         or (not is_ae and model.mip is None
-            and model.enc_kind not in ("cp", "posenc"))
+            and model.enc_kind not in plain_encs)
         or (is_ae and (model.mip is not None or model.encoding_size != 32
                        or not model.normalize_latent))
         or model.sky_kind not in ("black", "white", "random")
@@ -787,6 +807,8 @@ def _fused_render_fn(model, params):
     else:
       enc_kind = model.mip or model.enc_kind
       _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+      if enc_kind == "hash":
+        params["params"]["density_mlp"]["enc"]["table"]
 
     def fn(p, rays_chunk):
       br = RENDER_BLOCK_RAYS
@@ -802,6 +824,9 @@ def _fused_render_fn(model, params):
                                        fine_steps=model.fine_steps, **kw)
       elif model.mip is not None:
         out = fused_plain_mip_render(p, rc, mip_kind=model.mip, **kw)
+      elif enc_kind == "hash":
+        from ..ops.pallas.render import fused_plain_hash_render
+        out = fused_plain_hash_render(p, rc, **kw)
       else:
         out = fused_plain_cp_render(p, rc, enc_kind=enc_kind, **kw)
       return out[:n, :3]

@@ -49,11 +49,18 @@ CONFIGS = [
                   "--enc-kind", "cp", "-lr", "1e-3"]),
     ("plain_posenc", ["--data-kind", "synthetic", "--model", "plain",
                       "--enc-kind", "posenc", "-lr", "1e-3"]),
+    # hybrid NGP path (XLA gather + fused downstream kernel) — the
+    # reference's default PlainNeRF encoder
+    ("plain_hash", ["--data-kind", "synthetic", "--model", "plain",
+                    "--enc-kind", "hash", "-lr", "1e-3"]),
     ("plain_mip_cone", ["--data-kind", "synthetic", "--model", "plain",
                         "--mip", "cone", "-lr", "1e-3"]),
     ("coarse_fine_mip", ["--data-kind", "synthetic", "--model",
                          "coarse_fine", "--mip", "cone", "-lr", "1e-3"]),
-    ("ae", ["--data-kind", "synthetic", "--model", "ae", "-lr", "1e-3"]),
+    # --normalize-latent: the fused ae kernel covers the normalized-
+    # latent variant (ops/pallas/render_ae.py; the gate documents it)
+    ("ae", ["--data-kind", "synthetic", "--model", "ae",
+            "--normalize-latent", "-lr", "1e-3"]),
     ("volsdf_eikonal", ["--data-kind", "synthetic", "--model", "volsdf",
                         "--sdf-kind", "mlp", "--sigmoid-kind", "upshifted",
                         "--sdf-eikonal", "0.01", "-lr", "3e-4"]),
@@ -74,6 +81,8 @@ def main():
   ap.add_argument("--views", type=int, default=6)
   ap.add_argument("--batch-size", type=int, default=4096)
   ap.add_argument("--only", default=None, help="substring filter")
+  ap.add_argument("--skip-done", action="store_true",
+                  help="skip configs already recorded in --out")
   ap.add_argument("--out", default="QUALITY_r03.json")
   args = ap.parse_args()
 
@@ -85,9 +94,21 @@ def main():
 
   import runner
 
+  # merge with prior rows (the sweep is resumable: a killed run keeps
+  # what it finished, a rerun replaces same-name rows in place)
   rows = []
+  if os.path.exists(args.out):
+    try:
+      with open(args.out) as f:
+        rows = json.load(f).get("rows", [])
+    except Exception:
+      rows = []
+  done = {r["config"] for r in rows}
   for name, extra in CONFIGS:
     if args.only and args.only not in name:
+      continue
+    if args.skip_done and name in done:
+      print(f"[sweep] {name}: already recorded, skipping")
       continue
     argv = [
         "-d", "synth", "--size", str(args.size),
@@ -118,7 +139,7 @@ def main():
                beats_black_by_2db=ok, epochs=args.epochs, size=args.size,
                batch_size=args.batch_size, wall_s=round(wall, 1),
                backend=backend)
-    rows.append(row)
+    rows = [r for r in rows if r["config"] != name] + [row]
     print(f"[sweep] {name}: PSNR {psnr:.2f} (black {black:.2f}) "
           f"fused={fused} wall={wall:.0f}s")
     out = dict(protocol="train-view PSNR via runner.main on the "

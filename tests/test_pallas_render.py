@@ -97,6 +97,69 @@ def test_fused_render_grad_matches_oracle(enc_kind):
   assert checked > 20  # every weight/bias actually received gradient
 
 
+def test_fused_hash_render_and_grad_match_oracle():
+  """Hybrid NGP envelope (the reference's DEFAULT PlainNeRF encoder,
+  src/neural_blocks.py:92-193): the hash gather runs in XLA, everything
+  downstream in the fused kernel. Checks forward parity, loss parity,
+  and that gradients reach BOTH the MLP weights and the hash TABLE
+  (through the [P, F] feature cotangent the backward kernel emits)."""
+  from nerf_atlas_tpu.ops.pallas.render import (
+      fused_plain_hash_render, fused_plain_hash_render_train)
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                           enc_kind="hash")
+  n = 64
+  key = jax.random.PRNGKey(0)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  oracle = model.apply(params, rays)
+  fused = fused_plain_hash_render(params, rays, steps=16, t_near=2.0,
+                                  t_far=6.0, block_rays=32, interpret=True)
+  np.testing.assert_allclose(np.asarray(fused[:, :3]),
+                             np.asarray(oracle["rgb"]), atol=2e-2)
+
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  def loss_fused(p):
+    out = fused_plain_hash_render_train(p, rays[:32], steps=16, t_near=2.0,
+                                        t_far=6.0, block_rays=16,
+                                        bwd_block_rays=16, interpret=True)
+    return (jnp.mean((out[:, :3] - target[:32]) ** 2)
+            + jnp.mean((out[:, 3] - 0.7) ** 2))
+
+  def loss_oracle(p):
+    out = model.apply(p, rays[:32])
+    acc = out["weights"].sum(-1)
+    return (jnp.mean((out["rgb"] - target[:32]) ** 2)
+            + jnp.mean((acc - 0.7) ** 2))
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  num, den = 0.0, 0.0
+  table_grad_norm = 0.0
+  for path, g_fused in jax.tree_util.tree_leaves_with_path(gf):
+    g_orc = flat_o[path]
+    a = np.asarray(g_fused, np.float64)
+    b = np.asarray(g_orc, np.float64)
+    num += np.sum((a - b) ** 2)
+    den += np.sum(b ** 2)
+    cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b),
+                              1e-20)
+    assert cos > 0.98, (jax.tree_util.keystr(path), cos)
+    if "table" in jax.tree_util.keystr(path):
+      table_grad_norm = np.linalg.norm(a)
+  # measured ≈ 0.041 — like posenc, the hash features (1e-4-scale table
+  # entries) are more bf16-cancellation-sensitive than cp's; bar at the
+  # posenc level
+  assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
+  assert table_grad_norm > 0  # the hash table actually trains
+
+
 def test_fused_render_sharded_grad_matches_single():
   """shard_map multi-chip fused train path: outputs match the single-chip
   kernel and weight grads come back correctly psum'ed (8-device virtual
