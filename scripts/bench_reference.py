@@ -50,6 +50,10 @@ def _build_model(nerf, kind: str, device: str):
   reference (recorded in BASELINE.md):
     * TinyNeRF: CommonNeRF.set_sigmoid touches self.refl, which a
       refl-less TinyNeRF never has (src/nerf.py:216-220) -> tolerate.
+      Also its from_pts passes density with a trailing singleton into
+      alpha_from_density (src/nerf.py:300-303), which broadcast-errors
+      against dists*[B,H,W] — PlainNeRF squeezes (src/nerf.py:336) ->
+      squeeze, measuring the intended behavior.
     * VolSDF.__init__ reads `with_transmission` where the parameter is
       named `w_transmission` (src/nerf.py:874 vs :898) — NameError on
       every construction -> inject the module global it looks up.
@@ -72,7 +76,23 @@ def _build_model(nerf, kind: str, device: str):
 
   common = dict(steps=64, t_near=2.0, t_far=6.0)
   if kind == "tiny":
-    return nerf.TinyNeRF(**common).to(device)
+    m = nerf.TinyNeRF(**common)
+    orig_from_pts = m.from_pts
+
+    def _squeezed_from_pts(pts, ts, r_o, r_d, refl_latent=None,
+                           _m=m, _orig=orig_from_pts):
+      # reproduce from_pts with the density squeeze PlainNeRF applies
+      # (src/nerf.py:300-303 vs :336) — upstream TinyNeRF broadcast bug
+      latent = nerf.cat_not_none(_m.curr_latent(pts.shape),
+                                 _m.mip_encoding(r_o, r_d, ts), dim=-1)
+      density, feats = _m.estim(pts, latent).split([1, 3], dim=-1)
+      _m.alpha, _m.weights = nerf.alpha_from_density(
+          density[..., 0], ts, r_d)
+      return (nerf.volumetric_integrate(_m.weights, _m.feat_act(feats))
+              + _m.sky_color(None, _m.weights))
+
+    m.from_pts = _squeezed_from_pts
+    return m.to(device)
   if kind == "plain":
     return nerf.PlainNeRF(**common).to(device)
   if kind == "ae":
@@ -126,7 +146,8 @@ def _time_config(nerf, kind: str, device: str, steps_timed: int):
   return steps_timed * B * H * W / dt
 
 
-def main(ref_path: str = "/root/reference", steps_timed: int = 30):
+def main(ref_path: str = "/root/reference", steps_timed: int = 30,
+         only=None):
   _stub_torchvision()
   if not torch.cuda.is_available():
     torch.nn.Module.cuda = lambda self, *a, **k: self  # ref's .cuda() bug
@@ -134,8 +155,19 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30):
   from src import nerf
 
   device = "cuda" if torch.cuda.is_available() else "cpu"
+  base_path = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "BASELINE.json")
   per_config = {}
-  for kind in ("tiny", "plain", "ae", "volsdf", "dnerf"):
+  if only:
+    # re-measure a subset, keeping the other configs' recorded numbers
+    try:
+      with open(base_path) as f:
+        per_config = json.load(f)["measured_reference"][
+            "per_config_rays_per_sec"]
+    except Exception:  # noqa: BLE001
+      pass
+  kinds = ("tiny", "plain", "ae", "volsdf", "dnerf")
+  for kind in (k for k in kinds if not only or k in only):
     try:
       per_config[kind] = round(_time_config(nerf, kind, device,
                                             steps_timed), 2)
@@ -154,8 +186,6 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30):
   }
   print(json.dumps(result))
 
-  base_path = os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), "BASELINE.json")
   try:
     with open(base_path) as f:
       base = json.load(f)
@@ -168,4 +198,4 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30):
 
 
 if __name__ == "__main__":
-  main()
+  main(only=sys.argv[1:] or None)
