@@ -247,6 +247,13 @@ def bench_config_train(kind, fused=False, n=15):
         rgb = fused_plain_cp_render_train(p, rays, ts, enc_kind="posenc",
                                           steps=STEPS, t_near=2.0,
                                           t_far=6.0)[:, :3]
+      elif fused and kind == "tiny":
+        from nerf_atlas_tpu.ops.pallas.render import (
+            fused_plain_cp_render_train)
+        ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+        rgb = fused_plain_cp_render_train(p, rays, ts, enc_kind="tiny",
+                                          steps=STEPS, t_near=2.0,
+                                          t_far=6.0)[:, :3]
       elif fused and kind == "hash":
         from nerf_atlas_tpu.ops.pallas.render import (
             fused_plain_hash_render_train)
@@ -327,7 +334,7 @@ def _per_config_table(baseline_table):
         entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
     except Exception as e:  # noqa: BLE001
       entry["error"] = f"{type(e).__name__}: {e}"
-    if kind in ("ae", "volsdf", "dnerf", "dnerf_spline", "mip",
+    if kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
                 "coarse_fine", "posenc", "hash"):
       try:
         entry["train_rays_per_sec_fused"] = round(

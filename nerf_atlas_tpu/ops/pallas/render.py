@@ -52,6 +52,15 @@ INTERMEDIATE = 32
 R_HIDDEN = 128
 R_LAYERS = 5
 
+# TinyNeRF envelope (models.TinyNeRF defaults; reference src/nerf.py:278-305):
+# a param-free 8-band positional encoding + ONE SkipConnMLP emitting
+# (sigma ‖ rgb) — no view dependence, so the refl MLP stage is skipped.
+# Selected by enc_kind="tiny" (the arch is implied by the encoder choice).
+TINY_LAYERS = 6
+TINY_HIDDEN = 128
+TINY_FREQS = 8
+TINY_MAX_LOG2 = 6.0
+
 
 def _skip_at(i: int, num_layers: int, skip: int = SKIP) -> bool:
   """SkipConnMLP skip-concat schedule (reference wiring): layer i's input
@@ -346,25 +355,26 @@ PE_MAX_LOG2 = 6.0              # (models/nerf.py: PositionalEncoder(3, 6, 10))
 PE_ENC = 2 * 3 * PE_FREQS      # sin ‖ cos, dim-major = 60
 
 
-def _pe_sel():
-  """S [3, 30] with S[c, j] = 2^((j%10)·6/9)·[j//10 == c]: `pts @ S` lays
-  phases out dim-major / band-minor, matching nn.PositionalEncoder's
-  reshape of x[..., :, None]·freqs (freqs = 2^linspace(0, 6, 10)).
+def _pe_sel(freqs: int = PE_FREQS, max_log2: float = PE_MAX_LOG2):
+  """S [3, 3F] with S[c, j] = 2^((j%F)·M/(F−1))·[j//F == c]: `pts @ S`
+  lays phases out dim-major / band-minor, matching nn.PositionalEncoder's
+  reshape of x[..., :, None]·freqs (freqs = 2^linspace(0, M, F)).
   Built from iota in-kernel (Pallas forbids captured array constants)."""
-  row = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * PE_FREQS), 0)
-  col = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * PE_FREQS), 1)
-  sel = (col // PE_FREQS == row).astype(jnp.float32)
-  expo = (col % PE_FREQS).astype(jnp.float32) * (
-      PE_MAX_LOG2 / (PE_FREQS - 1))
+  row = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * freqs), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * freqs), 1)
+  sel = (col // freqs == row).astype(jnp.float32)
+  expo = (col % freqs).astype(jnp.float32) * (max_log2 / (freqs - 1))
   return sel * jnp.exp2(expo)
 
 
-def _posenc_fwd(pts):
-  """[P, 3] -> [P, 60] bf16 positional-encoder features (sin ‖ cos).
+def _posenc_fwd(pts, freqs: int = PE_FREQS,
+                max_log2: float = PE_MAX_LOG2):
+  """[P, 3] -> [P, 6F] bf16 positional-encoder features (sin ‖ cos).
 
   Phases reach ±|p|·2^6 ≈ 2^8.6 radians — exactly the bf16 fourier-phase
   trap regime, so the band projection runs through `_dot_exact`."""
-  y = _dot_exact(pts.astype(jnp.float32), _pe_sel())         # [P, 30]
+  y = _dot_exact(pts.astype(jnp.float32),
+                 _pe_sel(freqs, max_log2))                   # [P, 3F]
   return jnp.concatenate(
       [_sin_approx(y), _cos_approx(y)], axis=-1).astype(jnp.bfloat16)
 
@@ -610,6 +620,11 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
     # ---- classic NeRF frequency bands (parameter-free, closed-form) ----
     init_feat = jnp.concatenate(
         [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
+  elif enc_kind == "tiny":
+    # ---- TinyNeRF: 8-band posenc feeding the single (sigma‖rgb) MLP ----
+    init_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16),
+         _posenc_fwd(pts, TINY_FREQS, TINY_MAX_LOG2)], axis=-1)
   elif enc_kind == "hash":
     # ---- NGP hash grid: features precomputed by the XLA gather ----
     init_feat = jnp.concatenate(
@@ -622,17 +637,23 @@ def _render_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
   def wbs(n_layers):
     return [(next_w()[...], next_w()[...]) for _ in range(n_layers + 2)]
 
-  # ---- density MLP (SkipConnMLP reference wiring, see nn/mlp.py) ----
-  first_out = _mlp_fwd(init_feat, wbs(N_LAYERS), _leaky_act, N_LAYERS)
-  density = first_out[:, 0:1]                   # [P, 1]
-  feats = first_out[:, 1:1 + INTERMEDIATE]
+  if enc_kind == "tiny":
+    # ---- TinyNeRF: ONE MLP -> (sigma ‖ rgb), no view dependence ----
+    out = _mlp_fwd(init_feat, wbs(TINY_LAYERS), _leaky_act, TINY_LAYERS)
+    density = out[:, 0:1]                       # [P, 1]
+    rgb_raw = out[:, 1:4]                       # [P, 3]
+  else:
+    # ---- density MLP (SkipConnMLP reference wiring, see nn/mlp.py) ----
+    first_out = _mlp_fwd(init_feat, wbs(N_LAYERS), _leaky_act, N_LAYERS)
+    density = first_out[:, 0:1]                 # [P, 1]
+    feats = first_out[:, 1:1 + INTERMEDIATE]
 
-  # ---- reflectance MLP (View, siren): input (pts ‖ elaz) + latent ----
-  elaz = elaz_ref[:, 0:2]                       # [B, 2] precomputed
-  elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
-  r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1)  # [P, 5+32]
-  rgb_raw = _mlp_fwd(r_in.astype(jnp.bfloat16), wbs(R_LAYERS), _sin30_act,
-                     R_LAYERS)                  # [P, 3]
+    # ---- reflectance MLP (View, siren): input (pts ‖ elaz) + latent ----
+    elaz = elaz_ref[:, 0:2]                     # [B, 2] precomputed
+    elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
+    r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1)  # [P, 5+32]
+    rgb_raw = _mlp_fwd(r_in.astype(jnp.bfloat16), wbs(R_LAYERS),
+                       _sin30_act, R_LAYERS)    # [P, 3]
   rgb, _ = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
   # ---- compositing (matches ops.integrate.alpha_from_density) ----
@@ -646,17 +667,26 @@ def _flatten_params(params, enc_kind: str = "cp") -> Sequence[jnp.ndarray]:
   """Flagship param pytree -> flat weight list in kernel consumption order.
 
   enc_kind "cp": the density MLP's CP feature lines lead the list; mip
-  kinds ("cone"/"cylinder") have no encoder params — IPE is closed-form."""
+  kinds ("cone"/"cylinder") have no encoder params — IPE is closed-form.
+  enc_kind "tiny": models.TinyNeRF's single MLP (posenc is param-free,
+  and there is no refl MLP)."""
   p = params["params"]
-  dm = p["density_mlp"]
-  rm = p["refl"]["mlp"]
   ws = []
-  if enc_kind == "cp":
-    for li in range(len(CP_RESOLUTIONS)):
-      ws.append(dm["enc"][f"lines_{li}"])
   def add(layer):
     ws.append(layer["kernel"])
     ws.append(layer["bias"][None, :])  # [1, C] (2-D for TPU)
+  if enc_kind == "tiny":
+    dm = p["mlp"]
+    add(dm["layer_in"])
+    for i in range(TINY_LAYERS):
+      add(dm[f"layer_{i}"])
+    add(dm["layer_out"])
+    return ws
+  dm = p["density_mlp"]
+  rm = p["refl"]["mlp"]
+  if enc_kind == "cp":
+    for li in range(len(CP_RESOLUTIONS)):
+      ws.append(dm["enc"][f"lines_{li}"])
   add(dm["layer_in"])
   for i in range(N_LAYERS):
     add(dm[f"layer_{i}"])
@@ -798,6 +828,8 @@ N_WS = len(CP_RESOLUTIONS) + 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2)
 
 def _n_ws(enc_kind: str) -> int:
   """Weight-tensor count per enc kind (mip/IPE carries no encoder params)."""
+  if enc_kind == "tiny":
+    return 2 * (TINY_LAYERS + 2)
   n = 2 * (N_LAYERS + 2) + 2 * (R_LAYERS + 2)
   return n + (len(CP_RESOLUTIONS) if enc_kind == "cp" else 0)
 
@@ -872,12 +904,16 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   B, T = block_rays, steps
   P = B * T
   L = len(CP_RESOLUTIONS) if enc_kind == "cp" else 0
+  # first-MLP depth/width: TinyNeRF's single (sigma‖rgb) MLP vs the
+  # flagship's density MLP
+  n_d = TINY_LAYERS if enc_kind == "tiny" else N_LAYERS
+  hid_d = TINY_HIDDEN if enc_kind == "tiny" else HIDDEN
 
-  def wb(k):      # density dense layer k = 0 (in) .. N_LAYERS+1 (out)
+  def wb(k):      # density dense layer k = 0 (in) .. n_d+1 (out)
     return wrefs[L + 2 * k][...], wrefs[L + 2 * k + 1][...]
 
   def rwb(k):     # refl dense layer k
-    base = L + 2 * (N_LAYERS + 2)
+    base = L + 2 * (n_d + 2)
     return wrefs[base + 2 * k][...], wrefs[base + 2 * k + 1][...]
 
   def acc_wb(k, dW, db):
@@ -885,7 +921,7 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
     grefs[L + 2 * k + 1][...] += db
 
   def acc_rwb(k, dW, db):
-    base = L + 2 * (N_LAYERS + 2)
+    base = L + 2 * (n_d + 2)
     grefs[base + 2 * k][...] += dW
     grefs[base + 2 * k + 1][...] += db
 
@@ -907,6 +943,10 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   elif enc_kind == "posenc":
     d_feat = jnp.concatenate(
         [pts.astype(jnp.bfloat16), _posenc_fwd(pts)], axis=-1)
+  elif enc_kind == "tiny":
+    d_feat = jnp.concatenate(
+        [pts.astype(jnp.bfloat16),
+         _posenc_fwd(pts, TINY_FREQS, TINY_MAX_LOG2)], axis=-1)
   elif enc_kind == "hash":
     d_feat = jnp.concatenate(
         [pts.astype(jnp.bfloat16), feat_ref[:, :].astype(jnp.bfloat16)],
@@ -914,20 +954,26 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   else:
     d_feat = _ipe_fwd(r_o, r_d, ts_b, enc_kind, B, T)
 
-  wbs_d = [wb(k) for k in range(N_LAYERS + 2)]
-  wbs_r = [rwb(k) for k in range(R_LAYERS + 2)]
+  wbs_d = [wb(k) for k in range(n_d + 2)]
+  wbs_r = ([] if enc_kind == "tiny"
+           else [rwb(k) for k in range(R_LAYERS + 2)])
 
   d_hs = []                                      # density pre-activations
-  first_out = _mlp_fwd(d_feat, wbs_d, _leaky_act, N_LAYERS, stash=d_hs)
+  first_out = _mlp_fwd(d_feat, wbs_d, _leaky_act, n_d, stash=d_hs)
   density = first_out[:, 0:1]
-  feats = first_out[:, 1:1 + INTERMEDIATE]
 
-  elaz = elaz_ref[:, 0:2]
-  elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
-  r_in = jnp.concatenate([pts, elaz_p, feats], axis=-1).astype(jnp.bfloat16)
+  if enc_kind == "tiny":
+    # TinyNeRF: rgb comes straight from the single MLP (no refl stage)
+    rgb_raw = first_out[:, 1:4]
+  else:
+    feats = first_out[:, 1:1 + INTERMEDIATE]
+    elaz = elaz_ref[:, 0:2]
+    elaz_p = jnp.broadcast_to(elaz[:, None, :], (B, T, 2)).reshape(P, 2)
+    r_in = jnp.concatenate([pts, elaz_p, feats],
+                           axis=-1).astype(jnp.bfloat16)
 
-  r_zs = []                                      # refl pre-activations
-  rgb_raw = _mlp_fwd(r_in, wbs_r, _sin30_act, R_LAYERS, stash=r_zs)
+    r_zs = []                                    # refl pre-activations
+    rgb_raw = _mlp_fwd(r_in, wbs_r, _sin30_act, R_LAYERS, stash=r_zs)
   rgb, dact = _rgb_act_grad(rgb_raw, sigmoid_kind)
 
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
@@ -939,17 +985,22 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                                   sky_white)
   drgb_raw = drgb * dact                                  # [P, 3]
 
-  # ---- backward: refl MLP (shared chain VJP, see _mlp_bwd) ----
-  dr_in, r_grads = _mlp_bwd(drgb_raw, r_zs, r_in, wbs_r, _sin30_act,
-                            _sin30_grad, R_LAYERS, R_HIDDEN)
-  for k, (dW, db) in enumerate(r_grads):
-    acc_rwb(k, dW, db)
-  dfeats = dr_in[:, 5:5 + INTERMEDIATE]                   # pts/elaz: no grad
+  if enc_kind == "tiny":
+    # ---- backward: the single MLP takes (dsigma ‖ drgb) directly ----
+    d_first = jnp.concatenate([ddensity, drgb_raw], axis=-1)  # [P, 4]
+  else:
+    # ---- backward: refl MLP (shared chain VJP, see _mlp_bwd) ----
+    dr_in, r_grads = _mlp_bwd(drgb_raw, r_zs, r_in, wbs_r, _sin30_act,
+                              _sin30_grad, R_LAYERS, R_HIDDEN)
+    for k, (dW, db) in enumerate(r_grads):
+      acc_rwb(k, dW, db)
+    dfeats = dr_in[:, 5:5 + INTERMEDIATE]                 # pts/elaz: no grad
+
+    d_first = jnp.concatenate([ddensity, dfeats], axis=-1)  # [P, 33]
 
   # ---- backward: density MLP ----
-  d_first = jnp.concatenate([ddensity, dfeats], axis=-1)  # [P, 33]
   d_featg, d_grads = _mlp_bwd(d_first, d_hs, d_feat, wbs_d, _leaky_act,
-                              _leaky_grad, N_LAYERS, HIDDEN)
+                              _leaky_grad, n_d, hid_d)
   for k, (dW, db) in enumerate(d_grads):
     acc_wb(k, dW, db)
   if enc_kind == "cp":

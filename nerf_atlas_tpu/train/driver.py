@@ -172,7 +172,37 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     from ..ops import rays as rays_ops
     from ..ops.pallas.render import DEFAULT_BLOCK_RAYS
 
-    from ..models import CoarseFineNeRF
+    from ..models import CoarseFineNeRF, TinyNeRF
+    if isinstance(model, TinyNeRF):
+      # TinyNeRF flagship (BASELINE config #1; reference
+      # src/nerf.py:278-305): one (sigma‖rgb) MLP behind the param-free
+      # 8-band posenc — enc_kind="tiny" selects the no-refl arch in the
+      # shared plain kernel (ops/pallas/render.py)
+      if (model.mlp_kwargs is not None or model.mip is not None
+          or ds.times is not None):
+        return None
+      from ..ops.pallas.render import (_flatten_params,
+                                       fused_plain_cp_render_train,
+                                       fused_plain_cp_render_train_sharded)
+      if mesh is not None and (
+          mesh.size == 1
+          or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+        return None
+      _flatten_params(params, enc_kind="tiny")  # raises on divergence
+
+      def tiny_fn(p, rays, t, key):
+        ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+        kw = dict(steps=model.steps, t_near=model.t_near,
+                  t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+                  sky_kind=model.sky_kind, enc_kind="tiny")
+        if mesh is not None:
+          return fused_plain_cp_render_train_sharded(p, rays, ts,
+                                                     mesh=mesh, **kw)
+        return fused_plain_cp_render_train(p, rays, ts, **kw)
+
+      return tiny_fn
+
     if isinstance(model, PlainNeRF):
       # with mip set, the IPE envelope replaces the spatial encoder
       # (BASELINE config #2's feature path); otherwise cp (flagship),
@@ -705,8 +735,34 @@ def _fused_render_fn(model, params):
   None otherwise (the pure-XLA oracle renders everything else)."""
   try:
     from ..models import (CoarseFineNeRF, DynamicNeRF, NeRFAE, PlainNeRF,
-                          VolSDF)
+                          TinyNeRF, VolSDF)
     from ..ops.pallas.render import FUSED_SIGMOID_KINDS
+    if isinstance(model, TinyNeRF):
+      # TinyNeRF eval envelope (same bounds as the train gate): the
+      # shared plain kernel with the no-refl "tiny" arch
+      if (model.mlp_kwargs is not None or model.mip is not None
+          or model.latent_size != 0
+          or model.sky_kind not in ("black", "white", "random")
+          or model.sigmoid_kind not in FUSED_SIGMOID_KINDS
+          or jax.default_backend() == "cpu"):
+        return None
+      from ..ops.pallas import fused_plain_cp_render
+      from ..ops.pallas.render import RENDER_BLOCK_RAYS, _flatten_params
+      _flatten_params(params, enc_kind="tiny")  # raises on divergence
+
+      def tiny_fn(p, rays_chunk):
+        br = RENDER_BLOCK_RAYS
+        n = rays_chunk.shape[0]
+        pad = (-n) % br
+        rc = jnp.pad(rays_chunk, ((0, pad), (0, 0))) if pad else rays_chunk
+        out = fused_plain_cp_render(
+            p, rc, steps=model.steps, t_near=model.t_near,
+            t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+            sky_kind=model.sky_kind, enc_kind="tiny")
+        return out[:n, :3]
+
+      return tiny_fn
+
     if isinstance(model, DynamicNeRF):
       # D-NeRF eval envelope: same config bounds as the train gate
       # (direct Δx or Spline-NeRF warp over the canonical plain-cp

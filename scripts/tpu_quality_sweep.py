@@ -45,6 +45,10 @@ def black_psnr(data_kind: str, size: int, views: int) -> float:
 
 # every fused train envelope (ops/pallas/render*.py), through the CLI
 CONFIGS = [
+    # BASELINE config #1: the single-MLP TinyNeRF (no-refl "tiny" arch
+    # in the shared plain kernel)
+    ("tiny", ["--data-kind", "synthetic", "--model", "tiny",
+              "-lr", "1e-3"]),
     ("plain_cp", ["--data-kind", "synthetic", "--model", "plain",
                   "--enc-kind", "cp", "-lr", "1e-3"]),
     ("plain_posenc", ["--data-kind", "synthetic", "--model", "plain",

@@ -388,3 +388,64 @@ def test_fast_trig_error_bound():
   ec = np.abs(np.asarray(_cos_approx(y)) - np.cos(np.asarray(y))).max()
   assert es < 5e-5, es
   assert ec < 1e-5, ec
+
+
+def test_fused_tiny_render_and_grad_match_oracle():
+  """TinyNeRF envelope (enc_kind="tiny"): a single (sigma‖rgb) SkipConnMLP
+  behind an 8-band posenc (reference src/nerf.py:278-305 — no view
+  dependence, no refl stage). Forward, loss, and gradient parity vs the
+  models.TinyNeRF XLA oracle."""
+  model = models.TinyNeRF(steps=16, t_near=2.0, t_far=6.0)
+  n = 64
+  key = jax.random.PRNGKey(0)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  oracle = model.apply(params, rays)
+  fused = fused_plain_cp_render(params, rays, steps=16, t_near=2.0,
+                                t_far=6.0, block_rays=32, interpret=True,
+                                enc_kind="tiny")
+  np.testing.assert_allclose(np.asarray(fused[:, :3]),
+                             np.asarray(oracle["rgb"]), atol=2e-2)
+  acc = oracle["weights"].sum(-1)
+  np.testing.assert_allclose(np.asarray(fused[:, 3]), np.asarray(acc),
+                             atol=2e-2)
+
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  def loss_fused(p):
+    out = fused_plain_cp_render_train(p, rays[:32], steps=16, t_near=2.0,
+                                      t_far=6.0, block_rays=16,
+                                      bwd_block_rays=16, interpret=True,
+                                      enc_kind="tiny")
+    return (jnp.mean((out[:, :3] - target[:32]) ** 2)
+            + jnp.mean((out[:, 3] - 0.7) ** 2))
+
+  def loss_oracle(p):
+    out = model.apply(p, rays[:32])
+    acc = out["weights"].sum(-1)
+    return (jnp.mean((out["rgb"] - target[:32]) ** 2)
+            + jnp.mean((acc - 0.7) ** 2))
+
+  lf, gf = jax.value_and_grad(loss_fused)(params)
+  lo, go = jax.value_and_grad(loss_oracle)(params)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=2e-2)
+
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  num, den, checked = 0.0, 0.0, 0
+  for path, g_fused in flat_f:
+    g_orc = flat_o[path]
+    gf_n = np.asarray(g_fused, np.float64)
+    go_n = np.asarray(g_orc, np.float64)
+    num += np.sum((gf_n - go_n) ** 2)
+    den += np.sum(go_n ** 2)
+    cos = (gf_n * go_n).sum() / max(
+        np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
+    assert cos > 0.98, (jax.tree_util.keystr(path), cos)
+    checked += 1
+  # posenc-class bf16 sensitivity bound (see the cp/posenc test above)
+  assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
+  assert checked == 2 * (6 + 2)  # every layer's kernel+bias got grads
