@@ -83,7 +83,7 @@ def original(path: str, training: bool = True, size: int = 256,
 
 
 def dnerf(path: str, training: bool = True, size: int = 256,
-          white_bg: bool = False, time_gamma: float = 1.0):
+          white_bg: bool = False, time_gamma: bool = False):
   """D-NeRF format: frames carry a `time` (or Gibson `timestep`) field;
   times normalized to [0,1] and sorted (reference src/loaders.py:103-150).
 
@@ -118,7 +118,11 @@ def dnerf(path: str, training: bool = True, size: int = 256,
   if times.min() < 0 or times.max() > 1:
     span = max(times.max() - times.min(), 1e-8)
     times = np.clip((times - times.min()) / span, 0.0, 1.0)
-  times = times ** time_gamma
+  if time_gamma:
+    # the reference's time-conditioned image gamma (src/loaders.py:148):
+    # imgs ** exp(2t-1) on the rgb channels (alpha untouched)
+    g = np.exp(2.0 * times - 1.0)[:, None, None, None]
+    imgs = np.concatenate([imgs[..., :3] ** g, imgs[..., 3:]], -1)
   cam_angle = float(meta["camera_angle_x"])
   if is_gibson:
     cam_angle *= np.pi / 180.0

@@ -208,8 +208,9 @@ def arguments(argv=None):
   a.add_argument("--duration-sec", type=float, default=0.0)
   a.add_argument("--inc-fourier-freqs", action="store_true",
                  help="grow Fourier encoder frequencies during training")
-  a.add_argument("--time-gamma", type=float, default=1.0,
-                 help="gamma-warp normalized times (dnerf loader)")
+  a.add_argument("--time-gamma", action="store_true",
+                 help="apply the time-conditioned image gamma exp(2t-1) "
+                      "(dnerf loader; reference src/loaders.py:148)")
   a.add_argument("--serial-idxs", action="store_true",
                  help="train on views in serial (view = step %% N)")
   a.add_argument("--higher-end-chance", type=int, default=0,
@@ -808,8 +809,8 @@ def main(argv=None):
   load_kwargs = {}
   if args.data_kind in ("synthetic", "synthetic-dyn", "synthetic-lit"):
     load_kwargs["num_views"] = args.num_views
-  if args.data_kind == "dnerf" and args.time_gamma != 1.0:
-    load_kwargs["time_gamma"] = args.time_gamma
+  if args.data_kind == "dnerf" and args.time_gamma:
+    load_kwargs["time_gamma"] = True
   if args.data_kind == "nerv_point":
     load_kwargs["light_intensity"] = args.light_intensity
   if args.data_kind == "single_video":

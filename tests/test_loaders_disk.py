@@ -65,6 +65,22 @@ def test_dnerf_white_bg(tmp_path):
   assert imgs[0, 0, 0, :3].min() > 0.9
 
 
+def test_dnerf_time_gamma_matches_reference_form(tmp_path):
+  """--time-gamma applies the reference's per-frame IMAGE gamma
+  exp(2t-1) to rgb (src/loaders.py:148), leaving alpha untouched."""
+  root = str(tmp_path / "jj3")
+  _write_nerf_synthetic(root, dynamic=True, n=4, size=16)
+  plain = loaders.load(root, training=True, size=16)
+  gamma = loaders.load(root, training=True, size=16, time_gamma=True)
+  (im0, t0), (im1, t1) = plain.labels, gamma.labels
+  np.testing.assert_allclose(t0, t1)
+  g = np.exp(2.0 * np.asarray(t0) - 1.0)[:, None, None, None]
+  np.testing.assert_allclose(np.asarray(im1[..., :3]),
+                             np.asarray(im0[..., :3]) ** g, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(im1[..., 3:]),
+                             np.asarray(im0[..., 3:]), atol=1e-6)
+
+
 def test_dtu_loader_roundtrip(tmp_path):
   import imageio.v2 as imageio
   root = str(tmp_path / "scan")
