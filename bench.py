@@ -4,7 +4,13 @@ flagship PlainNeRF (CP factorized-volume encoder + view reflectance, 64
 samples/ray, bf16 compute) — the BASELINE.json primary metric — plus
 train-step throughput (fused custom-VJP kernel vs the XLA oracle).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output protocol (timeout-proof): the headline JSON line prints
+IMMEDIATELY after the flagship measurements; per-config rows then flush
+incrementally as `# config ...` comment lines (mirrored to
+BENCH_CONFIGS.json); the LAST line is the full combined JSON. A driver
+that parses the last JSON line gets the full result on a clean run and
+the headline on a timeout. Wall-clock budget: env BENCH_BUDGET_SEC
+(default 1500); configs that don't fit are listed in "skipped".
 
 Timing note: on remote-attached TPUs, `block_until_ready` can return
 before remote execution completes; every measured iteration therefore
@@ -320,45 +326,49 @@ def bench_config_render(kind, n_rays=262_144, chunk=65_536, reps=2):
   return rays.shape[0] / dt
 
 
-def _per_config_table(baseline_table):
-  """rays/s for every canonical config; vs_baseline uses the reference's
-  per-config CPU measurement when available."""
-  table = {}
-  for kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-               "coarse_fine", "posenc", "hash"):
-    entry = {}
-    oracle_kinds = ("tiny", "ae", "volsdf", "dnerf", "hash")
-    try:
-      if kind in oracle_kinds:
-        entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
-        entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
-    except Exception as e:  # noqa: BLE001
-      entry["error"] = f"{type(e).__name__}: {e}"
-    if kind in ("tiny", "ae", "volsdf", "dnerf", "dnerf_spline", "mip",
-                "coarse_fine", "posenc", "hash"):
-      try:
-        entry["train_rays_per_sec_fused"] = round(
-            bench_config_train(kind, fused=True), 1)
-      except Exception as e:  # noqa: BLE001
-        entry["fused_error"] = f"{type(e).__name__}: {e}"
-    if kind in ("mip", "coarse_fine"):
-      # BASELINE config #2 rows: the reference's hierarchical sampler is
-      # broken upstream (exit() at src/nerf.py:1772), so their baseline
-      # is the reference's plain recipe
-      entry["baseline_note"] = "vs the reference's plain recipe"
-    ref = baseline_table.get(
-        "plain" if kind in ("mip", "coarse_fine", "posenc", "hash")
-        else ("dnerf" if kind == "dnerf_spline" else kind))
-    best = (entry.get("train_rays_per_sec_fused")
-            or entry.get("train_rays_per_sec"))
-    if isinstance(ref, (int, float)) and best:
-      entry["train_vs_baseline"] = round(best / ref, 2)
-    table[kind] = entry
-  return table
+# Per-config sweep order: most informative first, so a budget cut loses
+# the least. "hash" leads because it is the reference's DEFAULT encoder.
+CONFIG_ORDER = ("hash", "tiny", "posenc", "mip", "volsdf", "ae", "dnerf",
+                "dnerf_spline", "coarse_fine")
+# kinds that also get an XLA-oracle train + render measurement
+ORACLE_KINDS = ("tiny", "ae", "volsdf", "dnerf", "hash")
+
+
+def _config_entry(kind, baseline_table):
+  """Measure one canonical config; returns its bench row."""
+  entry = {}
+  try:
+    if kind in ORACLE_KINDS:
+      entry["train_rays_per_sec"] = round(bench_config_train(kind), 1)
+      entry["render_rays_per_sec"] = round(bench_config_render(kind), 1)
+  except Exception as e:  # noqa: BLE001
+    entry["error"] = f"{type(e).__name__}: {e}"
+  try:
+    entry["train_rays_per_sec_fused"] = round(
+        bench_config_train(kind, fused=True), 1)
+  except Exception as e:  # noqa: BLE001
+    entry["fused_error"] = f"{type(e).__name__}: {e}"
+  if kind in ("mip", "coarse_fine"):
+    # BASELINE config #2 rows: the reference's hierarchical sampler is
+    # broken upstream (exit() at src/nerf.py:1772), so their baseline
+    # is the reference's plain recipe
+    entry["baseline_note"] = "vs the reference's plain recipe"
+  ref = baseline_table.get(
+      "plain" if kind in ("mip", "coarse_fine", "posenc", "hash")
+      else ("dnerf" if kind == "dnerf_spline" else kind))
+  best = (entry.get("train_rays_per_sec_fused")
+          or entry.get("train_rays_per_sec"))
+  if isinstance(ref, (int, float)) and best:
+    entry["train_vs_baseline"] = round(best / ref, 2)
+  return entry
 
 
 def main():
-  import sys
+  t_start = time.perf_counter()
+  budget = float(os.environ.get("BENCH_BUDGET_SEC", "1500"))
+  repo = os.path.dirname(os.path.abspath(__file__))
+  side_file = os.path.join(repo, "BENCH_CONFIGS.json")
+
   model = _flagship(jnp.bfloat16)
   rays = _frame_rays()
   params = model.init({"params": jax.random.PRNGKey(0),
@@ -374,22 +384,8 @@ def main():
     train_fused = None
   train_xla = bench_train(params, fused=False)
 
-  try:
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BASELINE.json")) as f:
-      ref_table = json.load(f)["measured_reference"].get(
-          "per_config_rays_per_sec", {})
-  except Exception:  # noqa: BLE001
-    ref_table = {}
-  try:
-    configs = _per_config_table(ref_table)
-  except Exception as e:  # noqa: BLE001
-    print(f"# per-config bench failed: {type(e).__name__}: {e}",
-          file=sys.stderr, flush=True)
-    configs = {}
-
   baseline, baseline_src = _baseline()
-  print(json.dumps({
+  headline = {
       "metric": "rays/sec/chip, real 800x800 frame, PlainNeRF-CP 64 steps",
       "value": round(render_rps, 1),
       "unit": "rays/s",
@@ -401,8 +397,54 @@ def main():
       "train_rays_per_sec_xla": round(train_xla, 1),
       "train_vs_baseline": (None if train_fused is None
                             else round(train_fused / baseline, 2)),
-      "configs": configs,
-  }))
+  }
+  # The headline goes out IMMEDIATELY so a timeout during the per-config
+  # sweep cannot lose the round's primary metric (BENCH_r03 lesson: the
+  # old all-at-the-end print died with rc=124 and captured nothing).
+  print(json.dumps(headline), flush=True)
+
+  try:
+    with open(os.path.join(repo, "BASELINE.json")) as f:
+      ref_table = json.load(f)["measured_reference"].get(
+          "per_config_rays_per_sec", {})
+  except Exception:  # noqa: BLE001
+    ref_table = {}
+
+  configs, skipped = {}, []
+  max_config_sec = 0.0
+  for kind in CONFIG_ORDER:
+    elapsed = time.perf_counter() - t_start
+    # skip if the slowest config so far would not fit in what remains
+    # (cold compiles make single configs minutes-long; dying mid-config
+    # loses its row AND the final summary line)
+    if elapsed + max(60.0, 1.2 * max_config_sec) > budget:
+      skipped = [k for k in CONFIG_ORDER
+                 if k not in configs and k != kind] + [kind]
+      skipped = list(dict.fromkeys(skipped))
+      print(f"# budget {budget:.0f}s reached at {elapsed:.0f}s; "
+            f"skipping {skipped}", flush=True)
+      break
+    t0 = time.perf_counter()
+    configs[kind] = _config_entry(kind, ref_table)
+    max_config_sec = max(max_config_sec, time.perf_counter() - t0)
+    # flush incrementally: a stdout comment line + a side artifact, so a
+    # mid-sweep kill still leaves every completed row on disk
+    print(f"# config {kind}: {json.dumps(configs[kind])}", flush=True)
+    try:
+      with open(side_file, "w") as f:
+        json.dump({"headline": headline, "configs": configs,
+                   "pending": [k for k in CONFIG_ORDER
+                               if k not in configs]}, f, indent=1)
+    except OSError:
+      pass
+
+  # Final combined line LAST: on a clean run the driver's tail ends with
+  # the full result; on a timeout it ends with the headline above.
+  print(json.dumps({**headline, "configs": configs, "skipped": skipped}))
+
+
+if __name__ == "__main__":
+  main()
 
 
 if __name__ == "__main__":

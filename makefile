@@ -267,7 +267,7 @@ dnerf_dyn:  # dnerfae: AE canonical + AE warp, serialized frame sampling
 	$(PY) runner.py -d data/dynamic/jumpingjacks --data-kind dnerf \
 	  --model ae --dyn-model ae --size 64 --epochs 80000 \
 	  --batch-size 1024 --steps 64 -lr 5e-4 --no-sched --serial-idxs \
-	  --time-gamma 2.0 --save outputs/djj_gamma/model.ckpt \
+	  --time-gamma --save outputs/djj_gamma/model.ckpt \
 	  --outdir outputs/djj_gamma
 
 sdf:  # pure SDF surface rendering w/ silhouette loss (ref makefile:174-180)

@@ -178,8 +178,16 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       # src/nerf.py:278-305): one (sigma‖rgb) MLP behind the param-free
       # 8-band posenc — enc_kind="tiny" selects the no-refl arch in the
       # shared plain kernel (ops/pallas/render.py)
-      if (model.mlp_kwargs is not None or model.mip is not None
-          or ds.times is not None):
+      # the kernel hard-codes the default arch (TINY_LAYERS×TINY_HIDDEN
+      # behind the 8-band posenc); accept mlp_kwargs that RESOLVE to it
+      # (e.g. {} or an explicit 6x128 spec) instead of rejecting any
+      # non-None value (ADVICE r3)
+      mkw = dict(model.mlp_kwargs or {})
+      from ..ops.pallas.render import TINY_HIDDEN, TINY_LAYERS
+      arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
+                 and mkw.pop("hidden_size", TINY_HIDDEN) == TINY_HIDDEN
+                 and not mkw)  # any other override diverges from the kernel
+      if not arch_ok or model.mip is not None or ds.times is not None:
         return None
       from ..ops.pallas.render import (_flatten_params,
                                        fused_plain_cp_render_train,

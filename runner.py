@@ -69,9 +69,12 @@ def arguments(argv=None):
                  help="independent per-ray stratified sample jitter")
   a.add_argument("--mip", default=None, choices=[None, "cone", "cylinder"])
   a.add_argument("--enc-kind", default="cp",
-                 choices=["cp", "hash", "posenc"],
+                 choices=["cp", "hash", "posenc", "ref-hash"],
                  help="plain-NeRF spatial encoder (cp = TPU-native "
-                      "factorized volume, the fused-kernel fast path)")
+                      "factorized volume, the fused-kernel fast path; "
+                      "ref-hash = the reference's exact hash grid incl. "
+                      "its descending-resolution schedule bug, for "
+                      "parity diagnosis)")
   a.add_argument("--sigmoid-kind", default="thin")
   a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
                  choices=["black", "white", "random", "mlp"])

@@ -77,10 +77,8 @@ def _build_model(nerf, kind: str, device: str):
   common = dict(steps=64, t_near=2.0, t_far=6.0)
   if kind == "tiny":
     m = nerf.TinyNeRF(**common)
-    orig_from_pts = m.from_pts
 
-    def _squeezed_from_pts(pts, ts, r_o, r_d, refl_latent=None,
-                           _m=m, _orig=orig_from_pts):
+    def _squeezed_from_pts(pts, ts, r_o, r_d, refl_latent=None, _m=m):
       # reproduce from_pts with the density squeeze PlainNeRF applies
       # (src/nerf.py:300-303 vs :336) — upstream TinyNeRF broadcast bug
       latent = nerf.cat_not_none(_m.curr_latent(pts.shape),
@@ -157,6 +155,11 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30,
   device = "cuda" if torch.cuda.is_available() else "cpu"
   base_path = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "BASELINE.json")
+  kinds = ("tiny", "plain", "ae", "volsdf", "dnerf")
+  if only:
+    unknown = [k for k in only if k not in kinds]
+    if unknown:  # error on typos BEFORE rewriting BASELINE.json
+      raise SystemExit(f"unknown config kind(s) {unknown}; known: {kinds}")
   per_config = {}
   if only:
     # re-measure a subset, keeping the other configs' recorded numbers
@@ -166,7 +169,6 @@ def main(ref_path: str = "/root/reference", steps_timed: int = 30,
             "per_config_rays_per_sec"]
     except Exception:  # noqa: BLE001
       pass
-  kinds = ("tiny", "plain", "ae", "volsdf", "dnerf")
   for kind in (k for k in kinds if not only or k in only):
     try:
       per_config[kind] = round(_time_config(nerf, kind, device,

@@ -1,19 +1,40 @@
 #!/usr/bin/env python3
-"""End-to-end quality parity vs the PyTorch reference (BASELINE 0.1 dB bar).
+"""End-to-end quality parity vs the PyTorch reference, PER MODEL VARIANT
+(BASELINE bar: PSNR within 0.1 dB — or better — per variant).
 
 Exports the procedural golden scene to the NeRF-synthetic format both
-frameworks load, trains the reference's `original` recipe (makefile:8-13:
-PlainNeRF + refl pos, l2, lr 2e-4) with its OWN runner on torch-CPU, and
-trains our matched config (--model plain --enc-kind hash --refl-kind pos)
-on the same ray/step budget. Reports test-split PSNR for both and the
-delta, into PARITY_E2E.json.
+frameworks load (plus a D-NeRF-format dynamic export), trains the
+reference's recipe for each variant with its OWN runner on torch-CPU,
+and trains our matched config on the same ray/step budget. Reports
+held-out test-split PSNR for both sides and the delta, per variant,
+into PARITY_E2E.json.
 
-Run: python scripts/parity_e2e.py [--epochs N] [--size S]
-(torch-CPU is the slow side: ~30-60 min at the default budget).
+Variants (reference recipes):
+  plain   — makefile:8-13   (PlainNeRF + refl pos, l2, lr 2e-4)
+  ae      — makefile:380-384 (NeRFAE, lr 1e-3, no-sched)
+  volsdf  — makefile:21-28   (VolSDF + mlp SDF, upshifted, lr 3e-4;
+            relighting extras dropped on BOTH sides for the core
+            quality comparison)
+  dnerf   — makefile:105-114 (DynamicNeRF --spline 6 over PlainNeRF;
+            regularizer extras dropped on both sides; refl pos on both
+            sides for stability at tiny budgets)
+
+`--diagnose-hash` additionally trains OUR plain config with the
+reference's EXACT hash encoder (enc-kind ref-hash: the descending-
+resolution schedule bug preserved, see nn/encoders.py:RefHashEncoder)
+so the measured plain-variant delta can be attributed: if ours(ref-hash)
+lands at the reference's PSNR while ours(hash) is far above, the
+reference's schedule bug is the measured cause of the gap.
+
+Run: python scripts/parity_e2e.py [--epochs N] [--size S] \
+       [--variants plain,ae,volsdf,dnerf] [--diagnose-hash]
+(torch-CPU is the slow side: ~30-40 min per variant at the default
+budget.)
 
 Harness accommodations for the reference on a CPU-only box (same as
 scripts/bench_reference.py): torchvision stubbed (unused by this path),
-`.cuda()` no-op'd, matplotlib forced Agg.
+`.cuda()` no-op'd, matplotlib forced Agg, `with_transmission` module
+global injected (ref src/nerf.py:895 reads an undefined name).
 """
 from __future__ import annotations
 
@@ -29,28 +50,38 @@ sys.path.insert(0, REPO)
 
 
 def export_scene(out_dir: str, size: int, n_train: int = 8,
-                 n_test: int = 4):
+                 n_test: int = 4, dynamic: bool = False):
+  """Write the procedural scene in NeRF-synthetic (or, with
+  dynamic=True, D-NeRF) transforms format — the shared wire format both
+  frameworks' `original`/`dnerf` loaders read."""
   import imageio.v2 as imageio
   import numpy as np
   from nerf_atlas_tpu.data import synthetic
 
   os.makedirs(out_dir, exist_ok=True)
   for kind, n, seed in (("train", n_train, 0), ("test", n_test, 1)):
-    imgs, cam, _ = synthetic.dataset(num_views=n, size=size, seed=seed)
+    labels, cam, _ = synthetic.dataset(num_views=n, size=size, seed=seed,
+                                       dynamic=dynamic)
+    times = None
+    if dynamic:
+      labels, times = labels
     frames = []
     for i in range(n):
       fp = f"{kind}_{i:03d}"
-      arr = np.clip(np.asarray(imgs[i]), 0, 1)
+      arr = np.clip(np.asarray(labels[i]), 0, 1)
       imageio.imwrite(os.path.join(out_dir, fp + ".png"),
                       (arr * 255).astype(np.uint8))
-      frames.append({
+      frame = {
           "file_path": fp,
           "transform_matrix": np.asarray(cam.cam_to_world[i]).tolist(),
-      })
+      }
+      if times is not None:
+        frame["time"] = float(times[i])
+      frames.append(frame)
     with open(os.path.join(out_dir, f"transforms_{kind}.json"), "w") as f:
       json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
-  print(f"[scene] exported {n_train}+{n_test} views at {size}px -> "
-        f"{out_dir}")
+  print(f"[scene] exported {n_train}+{n_test} views at {size}px"
+        f"{' (dynamic)' if dynamic else ''} -> {out_dir}")
 
 
 def _stub_torchvision():
@@ -67,8 +98,43 @@ def _stub_torchvision():
   })
 
 
+# per-variant flags BEYOND the shared budget/scene flags.
+# ref: the reference's runner.py argv; ours: our runner.py argv.
+# Reference recipe sources cited in the module docstring.
+VARIANTS = {
+    "plain": dict(
+        data_kind="original",
+        ref=["--model", "plain", "--refl-kind", "pos", "-lr", "2e-4"],
+        ours=["--model", "plain", "--enc-kind", "hash",
+              "--refl-kind", "pos", "-lr", "2e-4"],
+    ),
+    "ae": dict(
+        data_kind="original",
+        ref=["--model", "ae", "-lr", "1e-3", "--no-sched"],
+        ours=["--model", "ae", "-lr", "1e-3", "--no-sched"],
+    ),
+    "volsdf": dict(
+        data_kind="original",
+        ref=["--model", "volsdf", "--sdf-kind", "mlp", "-lr", "3e-4",
+             "--sigmoid-kind", "upshifted", "--refl-kind", "pos"],
+        ours=["--model", "volsdf", "--sdf-kind", "mlp", "-lr", "3e-4",
+              "--sigmoid-kind", "upshifted", "--refl-kind", "pos"],
+    ),
+    "dnerf": dict(
+        data_kind="dnerf",
+        ref=["--model", "plain", "--dyn-model", "plain", "--spline", "6",
+             "--refl-kind", "pos", "--sigmoid-kind", "upshifted",
+             "-lr", "5e-4"],
+        ours=["--model", "plain", "--enc-kind", "hash", "--dyn-model",
+              "plain", "--spline", "6", "--refl-kind", "pos",
+              "--sigmoid-kind", "upshifted", "-lr", "5e-4"],
+    ),
+}
+
+
 def run_reference(scene: str, workdir: str, epochs: int, size: int,
-                  steps: int, ref_path: str = "/root/reference"):
+                  steps: int, variant: str,
+                  ref_path: str = "/root/reference"):
   """Train + test the reference with its own runner.py (torch CPU)."""
   import matplotlib
   matplotlib.use("Agg")
@@ -77,9 +143,14 @@ def run_reference(scene: str, workdir: str, epochs: int, size: int,
   if not torch.cuda.is_available():
     torch.nn.Module.cuda = lambda self, *a, **k: self
   sys.path.insert(0, ref_path)
+  # ref src/nerf.py:895 reads an undefined module-level name when
+  # constructing VolSDF (documented ctor patch, scripts/bench_reference)
+  from src import nerf as ref_nerf
+  ref_nerf.with_transmission = False
 
+  spec = VARIANTS[variant]
   os.makedirs(workdir, exist_ok=True)
-  outdir = os.path.join(workdir, "ref_outputs")
+  outdir = os.path.join(workdir, f"ref_outputs_{variant}")
   os.makedirs(outdir, exist_ok=True)
   cwd = os.getcwd()
   argv = sys.argv
@@ -87,16 +158,15 @@ def run_reference(scene: str, workdir: str, epochs: int, size: int,
     os.chdir(REPO)   # the reference's git_hash() needs a git cwd; its
     # outputs go to the absolute --outdir (never /root/reference)
     sys.argv = [
-        "runner.py", "-d", scene + "/", "--data-kind", "original",
+        "runner.py", "-d", scene + "/", "--data-kind", spec["data_kind"],
         "--size", str(size), "--epochs", str(epochs),
         "--crop-size", "16", "--batch-size", "2",
         "--near", "1.5", "--far", "4.5", "--steps", str(steps),
-        "--model", "plain", "--refl-kind", "pos", "-lr", "2e-4",
         "--loss-fns", "l2", "--notraintest", "--seed", "0",
         "--outdir", outdir + "/",
-        "--save", os.path.join(workdir, "ref.pt"),
+        "--save", os.path.join(workdir, f"ref_{variant}.pt"),
         "--valid-freq", str(10 ** 9), "--save-freq", str(10 ** 9),
-    ]
+    ] + spec["ref"]
     import runpy
     runpy.run_path(os.path.join(ref_path, "runner.py"),
                    run_name="__main__")
@@ -104,35 +174,42 @@ def run_reference(scene: str, workdir: str, epochs: int, size: int,
     os.chdir(cwd)
     sys.argv = argv
   res = open(os.path.join(outdir, "results.txt")).read()
-  print("[reference results]\n" + res)
+  print(f"[reference {variant} results]\n" + res)
   return _parse_psnr(res)
 
 
 def _parse_psnr(results_txt: str) -> float:
-  m = re.search(r"mean.*?(\d+\.\d+)", results_txt)
+  # the reference writes "\tmean X.XXX" on its own line
+  # (ref runner.py:979-984); anchor on that exact shape so an unrelated
+  # line containing "mean" can never be silently mis-parsed
+  m = re.search(r"^\s*mean\s+(-?\d+\.\d+)\s*$", results_txt, re.MULTILINE)
   if m:
     return float(m.group(1))
-  # reference summary format: "mean: X.XXX" or similar — fall back to the
-  # average of per-view lines
+  # fall back to the average of per-view lines
   views = [float(x) for x in re.findall(r"PSNR[:\s]+(\d+\.\d+)",
                                         results_txt)]
-  assert views, results_txt
+  assert views, f"no parsable PSNR summary in results.txt:\n{results_txt}"
   return sum(views) / len(views)
 
 
-def run_ours(scene: str, workdir: str, epochs: int, size: int, steps: int):
-  """Matched config through OUR runner (ray budget 512/step, same loss,
-  lr, near/far, sample count; hash encoder + pos reflectance to mirror
-  the reference's PlainNeRF recipe)."""
+def run_ours(scene: str, workdir: str, epochs: int, size: int, steps: int,
+             variant: str, enc_override: str | None = None):
+  """Matched config through OUR runner (ray budget 512/step = the ref's
+  batch 2 x crop 16^2, same loss, lr, near/far, sample count)."""
   import runner
+  spec = VARIANTS[variant]
+  flags = list(spec["ours"])
+  if enc_override is not None:
+    i = flags.index("--enc-kind")
+    flags[i + 1] = enc_override
+  tag = variant + (f"_{enc_override}" if enc_override else "")
   results = runner.main([
-      "-d", scene, "--data-kind", "original", "--size", str(size),
+      "-d", scene, "--data-kind", spec["data_kind"], "--size", str(size),
       "--epochs", str(epochs), "--batch-size", "512",
       "--near", "1.5", "--far", "4.5", "--steps", str(steps),
-      "--model", "plain", "--enc-kind", "hash", "--refl-kind", "pos",
-      "-lr", "2e-4", "--loss-fns", "l2", "--notraintest", "--seed", "0",
-      "--outdir", os.path.join(workdir, "ours"), "--nosave",
-  ])
+      "--loss-fns", "l2", "--notraintest", "--seed", "0",
+      "--outdir", os.path.join(workdir, f"ours_{tag}"), "--nosave",
+  ] + flags)
   return results["test"]["psnr_mean"]
 
 
@@ -142,11 +219,21 @@ def main():
   ap.add_argument("--size", type=int, default=32)
   ap.add_argument("--steps", type=int, default=32)
   ap.add_argument("--workdir", default="/tmp/parity_e2e")
+  ap.add_argument("--variants", default="plain",
+                  help=f"comma list from {sorted(VARIANTS)}")
   ap.add_argument("--skip-reference", action="store_true")
   ap.add_argument("--skip-ours", action="store_true")
+  ap.add_argument("--diagnose-hash", action="store_true",
+                  help="also train ours(plain) with the reference's "
+                       "exact (buggy-schedule) hash encoder")
   args = ap.parse_args()
 
-  scene = os.path.join(args.workdir, "scene")
+  variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+  unknown = [v for v in variants if v not in VARIANTS]
+  if unknown:
+    raise SystemExit(f"unknown variant(s) {unknown}; known "
+                     f"{sorted(VARIANTS)}")
+
   out_path = os.path.join(REPO, "PARITY_E2E.json")
   try:
     with open(out_path) as f:
@@ -154,31 +241,57 @@ def main():
   except Exception:  # noqa: BLE001
     out = {}
   out["config"] = {
-      "recipe": "reference makefile `original` (PlainNeRF + refl pos, "
-                "l2, lr 2e-4), procedural scene, matched ray/step budget",
+      "recipe": "per-variant reference makefile recipes on the exported "
+                "procedural scene, matched ray/step budget both sides",
       "epochs": args.epochs, "size": args.size, "steps": args.steps,
       "rays_per_step": 512,
   }
+  out.setdefault("variants", {})
 
-  if not os.path.exists(os.path.join(scene, "transforms_train.json")):
-    export_scene(scene, args.size)
+  def save():
+    with open(out_path, "w") as f:
+      json.dump(out, f, indent=2)
 
-  if not args.skip_ours:
-    out["ours_test_psnr"] = round(run_ours(scene, args.workdir,
-                                           args.epochs, args.size,
-                                           args.steps), 3)
-    print(f"[ours] test PSNR {out['ours_test_psnr']}")
-  if not args.skip_reference:
-    out["reference_test_psnr"] = round(
-        run_reference(scene, args.workdir, args.epochs, args.size,
-                      args.steps), 3)
-    print(f"[reference] test PSNR {out['reference_test_psnr']}")
-  if "ours_test_psnr" in out and "reference_test_psnr" in out:
-    out["delta_db"] = round(out["ours_test_psnr"]
-                            - out["reference_test_psnr"], 3)
-    print(f"[parity] ΔPSNR (ours - reference) = {out['delta_db']} dB")
-  with open(out_path, "w") as f:
-    json.dump(out, f, indent=2)
+  for variant in variants:
+    dyn = VARIANTS[variant]["data_kind"] == "dnerf"
+    scene = os.path.join(args.workdir, "scene_dyn" if dyn else "scene")
+    if not os.path.exists(os.path.join(scene, "transforms_train.json")):
+      export_scene(scene, args.size, dynamic=dyn)
+    row = out["variants"].setdefault(variant, {})
+
+    if not args.skip_ours:
+      row["ours_test_psnr"] = round(
+          run_ours(scene, args.workdir, args.epochs, args.size,
+                   args.steps, variant), 3)
+      print(f"[ours {variant}] test PSNR {row['ours_test_psnr']}")
+      save()
+    if args.diagnose_hash and variant == "plain":
+      row["ours_refhash_test_psnr"] = round(
+          run_ours(scene, args.workdir, args.epochs, args.size,
+                   args.steps, variant, enc_override="ref-hash"), 3)
+      print(f"[ours {variant} ref-hash] test PSNR "
+            f"{row['ours_refhash_test_psnr']}")
+      save()
+    if not args.skip_reference:
+      row["reference_test_psnr"] = round(
+          run_reference(scene, args.workdir, args.epochs, args.size,
+                        args.steps, variant), 3)
+      print(f"[reference {variant}] test PSNR "
+            f"{row['reference_test_psnr']}")
+      save()
+    if "ours_test_psnr" in row and "reference_test_psnr" in row:
+      row["delta_db"] = round(row["ours_test_psnr"]
+                              - row["reference_test_psnr"], 3)
+      print(f"[parity {variant}] ΔPSNR (ours - reference) = "
+            f"{row['delta_db']} dB")
+      save()
+
+  # legacy top-level keys (round-3 shape) mirror the plain variant
+  if "plain" in out["variants"]:
+    for k in ("ours_test_psnr", "reference_test_psnr", "delta_db"):
+      if k in out["variants"]["plain"]:
+        out[k] = out["variants"]["plain"][k]
+  save()
   print(f"wrote {out_path}")
 
 

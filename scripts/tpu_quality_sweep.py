@@ -87,7 +87,7 @@ def main():
   ap.add_argument("--only", default=None, help="substring filter")
   ap.add_argument("--skip-done", action="store_true",
                   help="skip configs already recorded in --out")
-  ap.add_argument("--out", default="QUALITY_r03.json")
+  ap.add_argument("--out", default="QUALITY_r04.json")
   args = ap.parse_args()
 
   import jax
@@ -119,7 +119,7 @@ def main():
         "--num-views", str(args.views), "--epochs", str(args.epochs),
         "--near", "2", "--far", "6", "--batch-size", str(args.batch_size),
         "--steps", "64", "--loss-fns", "l2", "--seed", "0",
-        "--outdir", f"outputs/quality_{name}", "--nosave", "--notest",
+        "--outdir", f"outputs/quality_{name}", "--nosave",
         "--valid-freq", "0",
     ] + extra
     data_kind = extra[extra.index("--data-kind") + 1]
@@ -136,9 +136,15 @@ def main():
     wall = time.time() - t0
     fused = "fused Pallas train kernel engaged" in buf.getvalue()
     psnr = float(results["train"]["psnr_mean"])
+    # held-out PSNR is what BASELINE.md's quality bar means (VERDICT r3
+    # weak #5): the procedural loader's training=False split renders
+    # novel camera poses never seen during training
+    psnr_test = float(results["test"]["psnr_mean"])
     black = black_psnr(data_kind, args.size, args.views)
-    ok = bool(np.isfinite(psnr)) and psnr > black + 2.0
+    ok = (bool(np.isfinite(psnr)) and psnr > black + 2.0
+          and bool(np.isfinite(psnr_test)) and psnr_test > black + 2.0)
     row = dict(config=name, psnr_train_mean=round(psnr, 3),
+               psnr_test_mean=round(psnr_test, 3),
                black_baseline=round(black, 3), fused_engaged=fused,
                beats_black_by_2db=ok, epochs=args.epochs, size=args.size,
                batch_size=args.batch_size, wall_s=round(wall, 1),
@@ -146,10 +152,11 @@ def main():
     rows = [r for r in rows if r["config"] != name] + [row]
     print(f"[sweep] {name}: PSNR {psnr:.2f} (black {black:.2f}) "
           f"fused={fused} wall={wall:.0f}s")
-    out = dict(protocol="train-view PSNR via runner.main on the "
-                        "procedural scene; fused engagement asserted "
-                        "from the driver print; anti-trivial rule: beat "
-                        "all-black by 2 dB",
+    out = dict(protocol="train-view AND held-out test-split PSNR via "
+                        "runner.main on the procedural scene; fused "
+                        "engagement asserted from the driver print; "
+                        "anti-trivial rule: both splits beat all-black "
+                        "by 2 dB",
                backend=backend, rows=rows)
     with open(args.out, "w") as f:  # incremental: survive a killed run
       json.dump(out, f, indent=2)
