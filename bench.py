@@ -181,9 +181,16 @@ def _config_model(kind):
     # PositionalEncoder; its `plain` default is the hash grid)
     return models.PlainNeRF(enc_kind="posenc", **common), False
   if kind == "hash":
-    # the reference's DEFAULT PlainNeRF encoder (NGP hash grid,
-    # src/neural_blocks.py:92-193) — hybrid fused path: XLA gather +
-    # fused downstream kernel
+    # the reference's DEFAULT PlainNeRF encoder family (NGP hash grid,
+    # src/neural_blocks.py:92-193), TPU-fast config: T=2^14/level
+    # engages the fused one-hot MXU lookup kernel
+    # (ops/pallas/hash_encode.py)
+    return models.PlainNeRF(enc_kind="hash",
+                            enc_kwargs={"table_size": 1 << 14},
+                            **common), False
+  if kind == "hash_ref19":
+    # the reference's exact default size (T=2^19): the XLA-gather
+    # hybrid — gather-bound by measurement (BENCH_NOTES.md roofline)
     return models.PlainNeRF(enc_kind="hash", **common), False
   if kind == "coarse_fine":
     return models.CoarseFineNeRF(enc_kind="cp", fine_steps=STEPS,
@@ -260,7 +267,7 @@ def bench_config_train(kind, fused=False, n=15):
         rgb = fused_plain_cp_render_train(p, rays, ts, enc_kind="tiny",
                                           steps=STEPS, t_near=2.0,
                                           t_far=6.0)[:, :3]
-      elif fused and kind == "hash":
+      elif fused and kind in ("hash", "hash_ref19"):
         from nerf_atlas_tpu.ops.pallas.render import (
             fused_plain_hash_render_train)
         ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
@@ -329,9 +336,9 @@ def bench_config_render(kind, n_rays=262_144, chunk=65_536, reps=2):
 # Per-config sweep order: most informative first, so a budget cut loses
 # the least. "hash" leads because it is the reference's DEFAULT encoder.
 CONFIG_ORDER = ("hash", "tiny", "posenc", "mip", "volsdf", "ae", "dnerf",
-                "dnerf_spline", "coarse_fine")
+                "dnerf_spline", "coarse_fine", "hash_ref19")
 # kinds that also get an XLA-oracle train + render measurement
-ORACLE_KINDS = ("tiny", "ae", "volsdf", "dnerf", "hash")
+ORACLE_KINDS = ("tiny", "ae", "volsdf", "dnerf", "hash", "hash_ref19")
 
 
 def _config_entry(kind, baseline_table):
@@ -354,7 +361,8 @@ def _config_entry(kind, baseline_table):
     # is the reference's plain recipe
     entry["baseline_note"] = "vs the reference's plain recipe"
   ref = baseline_table.get(
-      "plain" if kind in ("mip", "coarse_fine", "posenc", "hash")
+      "plain" if kind in ("mip", "coarse_fine", "posenc", "hash",
+                          "hash_ref19")
       else ("dnerf" if kind == "dnerf_spline" else kind))
   best = (entry.get("train_rays_per_sec_fused")
           or entry.get("train_rays_per_sec"))
@@ -441,10 +449,6 @@ def main():
   # Final combined line LAST: on a clean run the driver's tail ends with
   # the full result; on a timeout it ends with the headline above.
   print(json.dumps({**headline, "configs": configs, "skipped": skipped}))
-
-
-if __name__ == "__main__":
-  main()
 
 
 if __name__ == "__main__":

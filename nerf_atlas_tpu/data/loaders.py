@@ -21,6 +21,7 @@ import math
 import os
 from typing import Any, NamedTuple, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from . import cameras as cam_lib
@@ -181,7 +182,11 @@ def dtu(path: str, training: bool = True, size: int = 256,
     imgs.append(img)
     poses.append(pose)
     Ks.append(K.astype(np.float32))
-  camera = cam_lib.DTUCamera(pose=np.stack(poses), K=np.stack(Ks))
+  # device arrays: the camera pytree is indexed with traced view ids
+  # inside the jitted train step (numpy here breaks under jit — caught
+  # by tests/test_golden_driver.py::test_golden_driver_volsdf_dtu)
+  camera = cam_lib.DTUCamera(pose=jnp.asarray(np.stack(poses)),
+                             K=jnp.asarray(np.stack(Ks)))
   return DatasetBundle(np.stack(imgs), camera, None)
 
 

@@ -82,6 +82,10 @@ class PlainNeRF(NeRFBase):
   refl_space: str = "identity"
   enc_kind: str = "cp"
   refl_kwargs: Any = None
+  enc_kwargs: Any = None   # spatial-encoder overrides (e.g.
+                           # {"table_size": 1 << 14} selects the
+                           # TPU-fast one-hot hash kernel envelope,
+                           # ops/pallas/hash_encode.py)
   mlp_kwargs: Any = None   # density-MLP architecture overrides (the
                            # reference-checkpoint importer uses the ref's
                            # native 4×256, src/nerf.py:320-324)
@@ -92,7 +96,11 @@ class PlainNeRF(NeRFBase):
     if self.mip is not None:
       enc = None
     elif self.enc_kind == "hash":
-      enc = HashEncoder()
+      enc = HashEncoder(**(self.enc_kwargs or {}))
+    elif self.enc_kwargs:
+      raise NotImplementedError(
+          f"enc_kwargs only configures enc_kind='hash', got "
+          f"{self.enc_kind}")
     elif self.enc_kind == "ref-hash":
       # reference-exact hash grid (checkpoint transplant; see
       # nn.RefHashEncoder for why new models shouldn't use it)

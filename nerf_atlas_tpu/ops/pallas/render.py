@@ -30,7 +30,10 @@ from typing import Any, Dict, Sequence
 
 # MFU ablation probes (BENCH_NOTES "where do the non-MXU cycles go"):
 # RENDER_KERNEL_PROBE=nohat replaces the CP hat-basis stream with a
-# constant; =nosin replaces the siren activation with leaky-relu. Both
+# constant; =nosin replaces the siren activation with leaky-relu;
+# =noout removes the narrow-output matmuls (density 256->33, refl
+# 128->3 — the lane-padded tiles) in BOTH the forward and the hand
+# VJP, measuring the out-lane padding slice of the train step. All
 # produce WRONG numerics — perf measurement only.
 _PROBE = os.environ.get("RENDER_KERNEL_PROBE", "")
 
@@ -224,6 +227,8 @@ def _mlp_fwd(init_feat, wbs, act, n_layers, stash=None):
       h = _dot(act(h), w) + wbs[i + 1][1][0]
     if stash is not None:
       stash.append(h.astype(jnp.bfloat16))
+  if _PROBE == "noout":   # ablation probe: numerics-invalid, perf only
+    return act(h)[:, :wbs[n_layers + 1][0].shape[1]].astype(jnp.float32)
   return _dot(act(h), wbs[n_layers + 1][0]) + wbs[n_layers + 1][1][0]
 
 
@@ -240,9 +245,19 @@ def _mlp_bwd(d_out, stash, init_feat, wbs, act, act_grad, n_layers, hidden):
   f_act = act(init_feat)
   f_grad = None    # act'(init_feat), lazily built for skip layers
 
-  grads[n_layers + 1] = (_dot_t(act(stash[n_layers]), d_out),
-                         jnp.sum(d_out, axis=0, keepdims=True))
-  dh = _dot_nt(d_out, wbs[n_layers + 1][0]) * act_grad(stash[n_layers])
+  if _PROBE == "noout":   # ablation probe: numerics-invalid, perf only
+    # skip the out layer's dW/dx matmuls; widen d_out by zero-concat
+    O = d_out.shape[1]
+    w_shape = wbs[n_layers + 1][0].shape
+    grads[n_layers + 1] = (jnp.zeros(w_shape, jnp.float32),
+                           jnp.sum(d_out, axis=0, keepdims=True))
+    dh = (jnp.concatenate(
+        [d_out, jnp.zeros((P, hidden - O), jnp.float32)], axis=-1)
+        * act_grad(stash[n_layers]))
+  else:
+    grads[n_layers + 1] = (_dot_t(act(stash[n_layers]), d_out),
+                           jnp.sum(d_out, axis=0, keepdims=True))
+    dh = _dot_nt(d_out, wbs[n_layers + 1][0]) * act_grad(stash[n_layers])
   d_init = jnp.zeros((P, F), jnp.float32)
   for i in range(n_layers - 1, -1, -1):
     w = wbs[i + 1][0]
@@ -1219,11 +1234,28 @@ def fused_plain_cp_render_train_sharded(
 # ---------------------------------------------------------------------------
 
 
-def _hash_apply(table, pts_flat):
-  """Differentiable XLA hash-grid encode: [P, 3] -> [P, 16] (default
-  HashEncoder config — the only one PlainNeRF constructs)."""
+def _hash_apply(table, pts_flat, interpret=False):
+  """Differentiable hash-grid encode: [P, 3] -> [P, L*F].
+
+  Dispatch by table size (levels fixed at 8, PlainNeRF's only config;
+  T derived from the table's row count):
+  * T <= 2^16: the fused one-hot MXU kernel (hash_encode.py) — lookups
+    and their table gradient run as matmuls, no gather/scatter. This is
+    the TPU-fast envelope (--hash-table-log2 14).
+  * larger T (the reference-parity 2^19 default): the XLA gather path.
+    Measured bound on v5e: XLA gathers ~63M lookups/s and Mosaic exposes
+    no general vector gather (BENCH_NOTES.md), so big-table NGP is a
+    compatibility envelope, not a fast one.
+  """
   from ...nn.encoders import HashEncoder
-  return HashEncoder().apply({"params": {"table": table}}, pts_flat)
+  levels = 8
+  T = table.shape[0] // levels
+  from .hash_encode import MAX_ONEHOT_TABLE, hash_encode
+  if T <= MAX_ONEHOT_TABLE:
+    return hash_encode(table, pts_flat, levels=levels, table_size=T,
+                       interpret=interpret)
+  return HashEncoder(table_size=T).apply({"params": {"table": table}},
+                                         pts_flat)
 
 
 def _hash_pts(rays, ts, steps):
@@ -1296,7 +1328,8 @@ def fused_plain_hash_render_train(params, rays, ts=None, *,
   if ts is None:
     ts = _linspace_ts(steps, t_near, t_far)
   dists = _dists_base(ts)
-  feats = _hash_apply(_hash_table(params), _hash_pts(rays, ts, steps))
+  feats = _hash_apply(_hash_table(params), _hash_pts(rays, ts, steps),
+                      interpret=interpret)
   render = _make_diff_render_hash(steps, block_rays, bwd_block_rays,
                                   interpret, sigmoid_kind,
                                   sky_kind == "white")
@@ -1329,7 +1362,8 @@ def fused_plain_hash_render(params, rays, *, steps: int = 64,
   dists = _dists_base(ts)
 
   def run(rs, el):
-    feats = _hash_apply(table, _hash_pts(rs, ts, steps))
+    feats = _hash_apply(table, _hash_pts(rs, ts, steps),
+                        interpret=interpret)
     return _forward_call(ws, rs, el, ts, dists, steps=steps,
                          block_rays=block_rays, interpret=interpret,
                          sigmoid_kind=sigmoid_kind,
@@ -1382,7 +1416,8 @@ def fused_plain_hash_render_train_sharded(
                                   sky_kind == "white")
 
   def local(ws_, table_, rays_, elaz_, ts_, dists_):
-    feats = _hash_apply(table_, _hash_pts(rays_, ts_, steps))
+    feats = _hash_apply(table_, _hash_pts(rays_, ts_, steps),
+                        interpret=interpret)
     return render(ws_, feats, rays_, elaz_, ts_, dists_)
 
   import inspect

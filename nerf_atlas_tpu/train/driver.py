@@ -236,8 +236,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         return None
       _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
       if enc_kind == "hash":
-        # default-config HashEncoder only (the kernel's XLA-side gather
-        # reconstructs it; RefHashEncoder checkpoints stay on the oracle)
+        # default-config HashEncoder only, except table_size (which the
+        # fused path derives from the table's shape: small tables engage
+        # the one-hot MXU kernel, big ones the XLA-gather hybrid;
+        # RefHashEncoder checkpoints stay on the oracle)
+        if any(k != "table_size" for k in (model.enc_kwargs or {})):
+          return None
         params["params"]["density_mlp"]["enc"]["table"]
 
       def fn(p, rays, t, key):
@@ -747,8 +751,15 @@ def _fused_render_fn(model, params):
     from ..ops.pallas.render import FUSED_SIGMOID_KINDS
     if isinstance(model, TinyNeRF):
       # TinyNeRF eval envelope (same bounds as the train gate): the
-      # shared plain kernel with the no-refl "tiny" arch
-      if (model.mlp_kwargs is not None or model.mip is not None
+      # shared plain kernel with the no-refl "tiny" arch; like the train
+      # gate, mlp_kwargs that RESOLVE to the kernel's hard-coded arch
+      # are accepted (ADVICE r3)
+      mkw = dict(model.mlp_kwargs or {})
+      from ..ops.pallas.render import TINY_HIDDEN, TINY_LAYERS
+      arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
+                 and mkw.pop("hidden_size", TINY_HIDDEN) == TINY_HIDDEN
+                 and not mkw)
+      if (not arch_ok or model.mip is not None
           or model.latent_size != 0
           or model.sky_kind not in ("black", "white", "random")
           or model.sigmoid_kind not in FUSED_SIGMOID_KINDS

@@ -75,6 +75,11 @@ def arguments(argv=None):
                       "ref-hash = the reference's exact hash grid incl. "
                       "its descending-resolution schedule bug, for "
                       "parity diagnosis)")
+  a.add_argument("--hash-table-log2", type=int, default=19,
+                 help="hash-grid entries per level = 2^N (19 = the "
+                      "reference default; <=16 engages the fused "
+                      "one-hot MXU lookup kernel — 14 is the TPU-fast "
+                      "config)")
   a.add_argument("--sigmoid-kind", default="thin")
   a.add_argument("--bg", "--sky-kind", dest="sky_kind", default="black",
                  choices=["black", "white", "random", "mlp"])
@@ -451,6 +456,8 @@ def build_model(args, dynamic: bool):
       kwargs["mip"] = args.mip
       kwargs["enc_kind"] = args.enc_kind
       kwargs["refl_space"] = args.space_kind
+      if args.enc_kind == "hash" and args.hash_table_log2 != 19:
+        kwargs["enc_kwargs"] = dict(table_size=1 << args.hash_table_log2)
       if refl_kwargs:
         kwargs["refl_kwargs"] = refl_kwargs
       if args.ref_compat:

@@ -53,10 +53,11 @@ CONFIGS = [
                   "--enc-kind", "cp", "-lr", "1e-3"]),
     ("plain_posenc", ["--data-kind", "synthetic", "--model", "plain",
                       "--enc-kind", "posenc", "-lr", "1e-3"]),
-    # hybrid NGP path (XLA gather + fused downstream kernel) — the
-    # reference's default PlainNeRF encoder
+    # NGP hash path, TPU-fast config: the fused one-hot MXU lookup
+    # kernel (ops/pallas/hash_encode.py) + fused downstream kernel
     ("plain_hash", ["--data-kind", "synthetic", "--model", "plain",
-                    "--enc-kind", "hash", "-lr", "1e-3"]),
+                    "--enc-kind", "hash", "--hash-table-log2", "14",
+                    "-lr", "1e-3"]),
     ("plain_mip_cone", ["--data-kind", "synthetic", "--model", "plain",
                         "--mip", "cone", "-lr", "1e-3"]),
     ("coarse_fine_mip", ["--data-kind", "synthetic", "--model",

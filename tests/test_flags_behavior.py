@@ -102,6 +102,8 @@ MODEL_CASES = [
     (["--density-noise", "0.5"], "density_noise", 0.5),
     (["--intermediate-size", "16"], "intermediate_size", 16),
     (["--enc-kind", "posenc"], "enc_kind", "posenc"),
+    (["--enc-kind", "hash", "--hash-table-log2", "14"], "enc_kwargs",
+     {"table_size": 1 << 14}),
     (["--refl-kind", "pos"], "refl_kind", "pos"),
     (["--lindisp"], "lindisp", True),
     (["--per-ray-jitter"], "per_ray_jitter", True),

@@ -111,3 +111,80 @@ def test_golden_driver_relit(tmp_path):
                   "--integrator-kind", "direct", "--refl-kind", "diffuse",
                   "-lr", "3e-4"], psnr_floor=22.0,  # measured 23.5 (r3, black=21.5)
        beat_black_by=1.0)
+
+
+def _export_dtu(root: str, size: int = 24, views: int = 5):
+  """Package the procedural scene in DTU format (image/ + mask/ +
+  cameras.npz with world_mat = K[R|t]); returns the exported images.
+
+  Convention bridge: the synthetic camera is NeRF/OpenGL (x right, y up,
+  z back), DTU projections are CV (x right, y down, z forward) —
+  c2w_cv = [R_gl @ diag(1,-1,-1) | t]. The loader's RQ decomposition
+  round-trips this (BASELINE config #4 is VolSDF *on DTU*)."""
+  import imageio.v2 as imageio
+
+  from nerf_atlas_tpu.data import synthetic
+  imgs, cam, _ = synthetic.dataset(num_views=views, size=size, seed=0)
+  os.makedirs(os.path.join(root, "image"), exist_ok=True)
+  os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+  f = float(cam.focal)
+  K = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1.0]])
+  F = np.diag([1.0, -1.0, -1.0])
+  mats = {}
+  for i in range(views):
+    c2w = np.asarray(cam.cam_to_world[i], np.float64)
+    c2w_cv = np.eye(4)
+    c2w_cv[:3, :3] = c2w[:3, :3] @ F
+    c2w_cv[:3, 3] = c2w[:3, 3]
+    P = K @ np.linalg.inv(c2w_cv)[:3]
+    world = np.eye(4)
+    world[:3] = P
+    mats[f"world_mat_{i}"] = world
+    mats[f"scale_mat_{i}"] = np.eye(4)
+    arr = np.clip(np.asarray(imgs[i])[..., :3], 0, 1)
+    imageio.imwrite(os.path.join(root, "image", f"{i:03d}.png"),
+                    (arr * 255).astype(np.uint8))
+    imageio.imwrite(os.path.join(root, "mask", f"{i:03d}.png"),
+                    np.full((size, size), 255, np.uint8))
+  np.savez(os.path.join(root, "cameras.npz"), **mats)
+  return imgs, cam
+
+
+def test_golden_driver_volsdf_dtu(tmp_path):
+  """BASELINE config #4: VolSDF on DTU-format data, end-to-end through
+  DTUCamera (reference makefile:180-186 dtu recipe shape)."""
+  import jax.numpy as jnp
+
+  from nerf_atlas_tpu.data import loaders
+
+  size, views = 24, 5
+  root = str(tmp_path / "scan1")
+  imgs, cam = _export_dtu(root, size=size, views=views)
+
+  # geometric parity: the DTU round-trip must reproduce the synthetic
+  # camera's rays (same origins, same directions up to normalization)
+  bundle = loaders.load(root, training=True, size=size)
+  xy = jnp.stack(jnp.meshgrid(jnp.arange(size, dtype=jnp.float32) + 0.5,
+                              jnp.arange(size, dtype=jnp.float32) + 0.5,
+                              indexing="xy"), -1).reshape(-1, 2)
+  vidx = jnp.zeros(xy.shape[:-1], jnp.int32)
+  r_dtu = np.asarray(bundle.camera.rays_at(vidx, xy, size))
+  r_ref = np.asarray(cam.rays_at(vidx, xy, size))
+  np.testing.assert_allclose(r_dtu[:, :3], r_ref[:, :3], atol=1e-3)
+  d = r_ref[:, 3:] / np.linalg.norm(r_ref[:, 3:], axis=-1, keepdims=True)
+  np.testing.assert_allclose(r_dtu[:, 3:], d, atol=1e-3)
+
+  results = runner.main([
+      "-d", root, "--data-kind", "dtu", "--size", str(size),
+      "--epochs", "250", "--near", "2", "--far", "6",
+      "--batch-size", "512", "--steps", "24", "--loss-fns", "l2",
+      "--model", "volsdf", "--sdf-kind", "mlp", "-lr", "3e-4",
+      "--sigmoid-kind", "upshifted",
+      "--outdir", str(tmp_path / "out"), "--nosave", "--notest",
+      "--seed", "0",
+  ])
+  psnr = results["train"]["psnr_mean"]
+  im = np.clip(np.asarray(imgs)[..., :3], 0, 1)
+  black = float(-10 * np.log10((im ** 2).mean()))
+  assert psnr > 15.0, psnr
+  assert psnr > black + 2.0, (psnr, black)

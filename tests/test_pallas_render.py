@@ -97,16 +97,20 @@ def test_fused_render_grad_matches_oracle(enc_kind):
   assert checked > 20  # every weight/bias actually received gradient
 
 
-def test_fused_hash_render_and_grad_match_oracle():
-  """Hybrid NGP envelope (the reference's DEFAULT PlainNeRF encoder,
-  src/neural_blocks.py:92-193): the hash gather runs in XLA, everything
-  downstream in the fused kernel. Checks forward parity, loss parity,
-  and that gradients reach BOTH the MLP weights and the hash TABLE
+@pytest.mark.parametrize("table_size", [None, 1 << 11])
+def test_fused_hash_render_and_grad_match_oracle(table_size):
+  """NGP envelope (the reference's DEFAULT PlainNeRF encoder,
+  src/neural_blocks.py:92-193). table_size=None is the 2^19 reference
+  default (hash gather in XLA, downstream fused); a small table engages
+  the fused one-hot MXU lookup kernel (ops/pallas/hash_encode.py)
+  through the same dispatch. Checks forward parity, loss parity, and
+  that gradients reach BOTH the MLP weights and the hash TABLE
   (through the [P, F] feature cotangent the backward kernel emits)."""
   from nerf_atlas_tpu.ops.pallas.render import (
       fused_plain_hash_render, fused_plain_hash_render_train)
+  enc_kwargs = None if table_size is None else {"table_size": table_size}
   model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
-                           enc_kind="hash")
+                           enc_kind="hash", enc_kwargs=enc_kwargs)
   n = 64
   key = jax.random.PRNGKey(0)
   r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
