@@ -20,9 +20,9 @@ The TPU-native formulation used here makes the lookup a MATMUL:
   stage 1  one-hot over table ROWS: oh[p, s] = (idx_p >> 7 == s), then
            rows = oh @ table_rows — an MXU contraction that fetches each
            item's 128-entry table row;
-  stage 2  the measured-working 128-lane gather selects lane
-           (idx_p & 127), sliced per corner so each call stays inside
-           the ≤2048-row envelope.
+  stage 2  lane select as a lane-one-hot masked multiply + lane
+           reduction (measured faster than the ≤2048-row
+           `dynamic_gather` envelope, and shape-unconstrained).
 Cost is O(T·F) FLOPs per lookup — cheap on the MXU for T ≤ 2^16. The
 BACKWARD needs no scatter at all: d(table) = ohᵀ @ (lane-one-hot · w·g)
 — the same matmul transposed.
@@ -68,14 +68,14 @@ _P2 = np.int32(805459861)
 # largest table the one-hot formulation stays fast for ([8B, S] one-hot
 # with S = T/128 rows; S ≤ 512 keeps stage 1 a thin MXU matmul)
 MAX_ONEHOT_TABLE = 1 << 16
-# 8·block rows per one-hot matmul; gathers slice back to `block` rows
-# (≤ 2048, the measured dynamic_gather envelope)
+# 8·block rows per one-hot matmul (both stages are matmul/mask/reduce —
+# no gather envelope constrains the block size; 2048 crashes the v5e
+# compile helper, 1024 compiles)
 DEFAULT_BLOCK_PTS = 1024
 # the backward's working set is ~2× the forward's (one-hot + lane mask
 # + per-feature value buffers per level) — 1024-pt blocks blew the
 # 100 MB scoped-VMEM limit on v5e (measured: 125.3 MB); 512 fits
 DEFAULT_BWD_BLOCK_PTS = 512
-_GATHER_MAX_ROWS = 2048
 
 
 def _resolutions(levels: int, base_res: int, max_res: int) -> list[int]:
@@ -126,16 +126,19 @@ def _hash_fwd_kernel(pts_ref, tab_ref, out_ref, *, block_pts, levels,
                      bbox_max):
   """Per level: ONE one-hot build [8B, S], ONE MXU matmul
   [8B, S] @ [S, 128F] (row fetch for all 8 corners of every point),
-  then per-corner 128-lane gathers ([B, 128] each — inside the measured
-  dynamic_gather envelope) and a sliced-adds trilinear reduction. Large
-  fused ops keep the Mosaic schedule small (a 64-way unrolled per-corner
-  form compiled for >35 min — BENCH_NOTES)."""
+  then a lane-one-hot masked multiply + lane reduction for the lane
+  select (the same form the backward uses — measured FASTER than
+  per-corner dynamic_gathers, and free of their ≤2048-row envelope),
+  and a sliced-adds trilinear corner reduction. Large fused ops keep
+  the Mosaic schedule small (a 64-way unrolled per-corner form compiled
+  for >35 min — BENCH_NOTES)."""
   B, S, F, T = block_pts, table_size // 128, features, table_size
   pts = pts_ref[:, 0:3]
   xn = jnp.clip((pts - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0)
   xn8 = jnp.concatenate([xn] * 8, axis=0)              # [8B, 3]
   bx, by, bz = _corner_cols(B)
   sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8 * B, S), 1)
+  lanes = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 128), 1)
   for li in range(levels):
     res = resolutions[li]
     idx, w = _level_idx_w(xn8, bx, by, bz, res, res ** 3 <= T, T)
@@ -144,15 +147,13 @@ def _hash_fwd_kernel(pts_ref, tab_ref, out_ref, *, block_pts, levels,
         oh, tab_ref[li],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [8B, 128F]
-    lane8 = jnp.broadcast_to(idx & 127, (8 * B, 128))  # [8B, 128]
+    lsel = (idx & 127) == lanes                        # [8B, 128]
     for f in range(F):
-      acc = jnp.zeros((B, 1), jnp.float32)
-      for c in range(8):
-        r0 = c * B
-        val = jnp.take_along_axis(
-            rows[r0:r0 + B, 128 * f:128 * (f + 1)],
-            lane8[r0:r0 + B], axis=1)[:, 0:1]          # [B, 1]
-        acc = acc + val * w[r0:r0 + B]
+      m = jnp.where(lsel, rows[:, 128 * f:128 * (f + 1)], 0.0) * w
+      s = jnp.sum(m, axis=1, keepdims=True)            # [8B, 1]
+      acc = s[0:B]
+      for c in range(1, 8):
+        acc = acc + s[c * B:(c + 1) * B]
       out_ref[:, li * F + f:li * F + f + 1] = acc
 
 
@@ -308,9 +309,6 @@ def hash_encode(table, pts, *, levels: int = 8,
       "one-hot hash kernel supports T in [128, 2^16]; larger tables take "
       "the XLA-gather hybrid (see BENCH_NOTES.md for the measured bound)",
       table_size)
-  assert block_pts <= _GATHER_MAX_ROWS, (
-      "per-corner lane gathers run at [block_pts, 128]; Mosaic's "
-      "dynamic_gather envelope is ≤2048 rows", block_pts)
   res = tuple(_resolutions(levels, base_res, max_res))
   enc = _make_hash_encode(levels, table_size, features, res,
                           float(bbox_min), float(bbox_max), block_pts,
