@@ -27,13 +27,23 @@ Cost is O(T·F) FLOPs per lookup — cheap on the MXU for T ≤ 2^16. The
 BACKWARD needs no scatter at all: d(table) = ohᵀ @ (lane-one-hot · w·g)
 — the same matmul transposed.
 
+Index/weight math lives OUTSIDE the kernel. A Mosaic vreg is [8, 128]:
+any op on an [8B, 1] column costs exactly as many vreg passes as an
+[8B, 128] op, so the ~20 int/float ops per (level, corner) that the
+hash math needs are 20 full-width passes if done in-kernel — measured
+to DOMINATE the kernel (the backward ran at a T-independent ~126 ms,
+and T=2^14 ran slower than 2^16). XLA computes (row, lane, weight) for
+all levels × corners in wide fused elementwise kernels (~0.4 GB of HBM
+streams ≈ sub-ms at v5e bandwidth) and hands the kernel corner-major
+packed arrays; the kernel keeps only wide broadcast-compares, the MXU
+matmuls, and the masked reductions.
+
 Kernel layout rules learned from the Mosaic lowering (round 4):
   * NO cross-dimension reshapes ([8, B] -> [8B, 1] moves lanes to
     sublanes — the same unsupported shapecast as render.py's
-    `_flatten_bt` note) — everything lives in [8B, 1]/[8B, lanes]
-    column layouts, with the 8 trilinear corners FOLDED INTO THE ROWS
-    (corner-major: row = c·B + b) via a vertical concat of the point
-    block;
+    `_flatten_bt` note) — the 8 trilinear corners are FOLDED INTO THE
+    ROWS (corner-major: row = c·B + b) by XLA-side packing, so blocks
+    slice contiguous [8B, L] tiles;
   * NO `arr[None, :, i]`-style indexing (jnp lowers it through a
     gather primitive Mosaic rejects) — only static 2-D slices;
   * per-corner REDUCTIONS are 8 static sublane slices + adds.
@@ -59,8 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # NGP hash primes (public constants from the Instant-NGP paper); stored
 # as wrapped numpy int32 literals — int32 multiply/xor have the same low
-# 32 bits as the reference's uint32 math, and numpy scalars inline as
-# kernel constants (jnp arrays would be captured tracer constants).
+# 32 bits as the reference's uint32 math.
 _P0 = np.int32(1)
 _P1 = np.int32(2654435761 - (1 << 32))
 _P2 = np.int32(805459861)
@@ -72,10 +81,7 @@ MAX_ONEHOT_TABLE = 1 << 16
 # no gather envelope constrains the block size; 2048 crashes the v5e
 # compile helper, 1024 compiles)
 DEFAULT_BLOCK_PTS = 1024
-# the backward's working set is ~2× the forward's (one-hot + lane mask
-# + per-feature value buffers per level) — 1024-pt blocks blew the
-# 100 MB scoped-VMEM limit on v5e (measured: 125.3 MB); 512 fits
-DEFAULT_BWD_BLOCK_PTS = 512
+DEFAULT_BWD_BLOCK_PTS = 1024
 
 
 def _resolutions(levels: int, base_res: int, max_res: int) -> list[int]:
@@ -86,104 +92,118 @@ def _resolutions(levels: int, base_res: int, max_res: int) -> list[int]:
   return [int(round(base_res * growth ** i)) for i in range(levels)]
 
 
-def _corner_cols(B: int):
-  """Per-row corner bits for the corner-major [8B, 1] layout
-  (row = c·B + b): c = row // B, (bx, by, bz) = (c&1, (c>>1)&1,
-  (c>>2)&1) — the HashEncoder corner pairing. Built from iota in-trace
-  (compiled pallas_call rejects captured numpy constants)."""
-  c = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 1), 0) // B
-  return c & 1, (c >> 1) & 1, (c >> 2) & 1
+def _idx_w_all(pts, resolutions, T, bbox_min, bbox_max):
+  """XLA-side index/weight math for every (corner, level): pts [P, 3]
+  -> (idx [8, L, P] int32, w [8, L, P] f32), matching HashEncoder
+  exactly (clamped corners, dense direct indexing for res³ ≤ T,
+  XOR-prime hash, % T wrap, trilinear weights). Corner c pairs bits
+  (c&1, c>>1&1, c>>2&1) with (x, y, z).
 
-
-def _level_idx_w(xn8, bx, by, bz, res, dense, T):
-  """Table indices [8B, 1] int32 and trilinear weights [8B, 1] f32 for
-  one level in the corner-major layout, matching HashEncoder exactly
-  (clamped corners, dense direct indexing, XOR-prime hash, % T wrap).
-  xn8 [8B, 3]: the normalized point block repeated 8× vertically."""
-  v = xn8 * (res - 1)                                  # [8B, 3] f32
-  lo = jnp.floor(v)
-  fr = v - lo                                          # [8B, 3]
-  loi = lo.astype(jnp.int32)
-  rmax = res - 1
-  cx = jnp.minimum(loi[:, 0:1] + bx, rmax)             # [8B, 1]
-  cy = jnp.minimum(loi[:, 1:2] + by, rmax)
-  cz = jnp.minimum(loi[:, 2:3] + bz, rmax)
-  if dense:
-    idx = (cz * res + cy) * res + cx
-  else:
-    idx = (cx * _P0) ^ (cy * _P1) ^ (cz * _P2)
-  idx = idx & (T - 1)                                  # [8B, 1]
-  fx, fy, fz = fr[:, 0:1], fr[:, 1:2], fr[:, 2:3]
-  bxf, byf, bzf = (b.astype(fx.dtype) for b in (bx, by, bz))
-  w = ((bxf * fx + (1 - bxf) * (1.0 - fx))
-       * (byf * fy + (1 - byf) * (1.0 - fy))
-       * (bzf * fz + (1 - bzf) * (1.0 - fz)))          # [8B, 1]
-  return idx, w
-
-
-def _hash_fwd_kernel(pts_ref, tab_ref, out_ref, *, block_pts, levels,
-                     table_size, features, resolutions, bbox_min,
-                     bbox_max):
-  """Per level: ONE one-hot build [8B, S], ONE MXU matmul
-  [8B, S] @ [S, 128F] (row fetch for all 8 corners of every point),
-  then a lane-one-hot masked multiply + lane reduction for the lane
-  select (the same form the backward uses — measured FASTER than
-  per-corner dynamic_gathers, and free of their ≤2048-row envelope),
-  and a sliced-adds trilinear corner reduction. Large fused ops keep
-  the Mosaic schedule small (a 64-way unrolled per-corner form compiled
-  for >35 min — BENCH_NOTES)."""
-  B, S, F, T = block_pts, table_size // 128, features, table_size
-  pts = pts_ref[:, 0:3]
+  All arithmetic runs on FLAT [P] vectors with python-int corner bits:
+  a [P, 8]-shaped op occupies 8 of 128 lanes per vreg (16× padding
+  waste) and the padded form measured ~55 ms per 524k-point step on
+  v5e — the flat form is a few ms of fully-packed elementwise work."""
   xn = jnp.clip((pts - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0)
-  xn8 = jnp.concatenate([xn] * 8, axis=0)              # [8B, 3]
-  bx, by, bz = _corner_cols(B)
+  x, y, z = xn[:, 0], xn[:, 1], xn[:, 2]                   # [P] flat
+  idxs = [[None] * len(resolutions) for _ in range(8)]
+  ws = [[None] * len(resolutions) for _ in range(8)]
+  for li, res in enumerate(resolutions):
+    rmax = res - 1
+    dense = res ** 3 <= T
+    vx, vy, vz = x * rmax, y * rmax, z * rmax
+    lox, loy, loz = jnp.floor(vx), jnp.floor(vy), jnp.floor(vz)
+    frx, fry, frz = vx - lox, vy - loy, vz - loz
+    gfx, gfy, gfz = 1.0 - frx, 1.0 - fry, 1.0 - frz
+    lix = lox.astype(jnp.int32)
+    liy = loy.astype(jnp.int32)
+    liz = loz.astype(jnp.int32)
+    for c in range(8):
+      bx, by, bz = c & 1, (c >> 1) & 1, (c >> 2) & 1       # python ints
+      cx = jnp.minimum(lix + 1, rmax) if bx else lix
+      cy = jnp.minimum(liy + 1, rmax) if by else liy
+      cz = jnp.minimum(liz + 1, rmax) if bz else liz
+      if dense:
+        idx = (cz * res + cy) * res + cx
+      else:
+        idx = (cx * _P0) ^ (cy * _P1) ^ (cz * _P2)
+      idxs[c][li] = idx & (T - 1)
+      ws[c][li] = ((frx if bx else gfx) * (fry if by else gfy)
+                   * (frz if bz else gfz))
+  stack = lambda rows: jnp.stack([jnp.stack(r) for r in rows])
+  return stack(idxs), stack(ws)
+
+
+def _pack_corner_major(a, block):
+  """[8, C, P] -> [8P, C] with row = blk·8B + c·B + b, so a grid block
+  i slices rows [i·8B, (i+1)·8B): corner-major WITHIN each block."""
+  _, C, P = a.shape
+  nb = P // block
+  a = a.reshape(8, C, nb, block)
+  a = jnp.transpose(a, (2, 0, 3, 1))
+  return a.reshape(nb * 8 * block, C)
+
+
+def _hash_fwd_kernel(hi_ref, lo_ref, w_ref, tab_ref, out_ref, *,
+                     block_pts, levels, table_size, features):
+  """Per level: ONE broadcast-compare one-hot [8B, S], ONE MXU matmul
+  [8B, S] @ [S, 128F] (row fetch for all 8 corners of every point),
+  a lane-one-hot masked multiply for the lane select, a wide sliced-add
+  trilinear corner fold to [B, 128F], and an MXU matmul against a
+  static per-feature lane selector for the lane reduction. All inputs
+  are precomputed wide by XLA, and NO full-width vector reduction ever
+  runs: the measured ablation (BENCH_NOTES round-4 study) put the
+  per-(level, feature) [8B, 128] `jnp.sum(axis=1)` reductions at ~100ms
+  of a 142ms step; this form measures 43ms. Large fused ops keep the
+  Mosaic schedule small (a 64-way unrolled per-corner form compiled
+  for >35 min — BENCH_NOTES)."""
+  B, S, F = block_pts, table_size // 128, features
   sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8 * B, S), 1)
   lanes = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 128), 1)
+  # static lane->feature selector: sel[128f + l, f] = 1
+  fsel = (jax.lax.broadcasted_iota(jnp.int32, (128 * F, F), 0) // 128
+          == jax.lax.broadcasted_iota(jnp.int32, (128 * F, F), 1)
+          ).astype(jnp.float32)
+  cols = []
   for li in range(levels):
-    res = resolutions[li]
-    idx, w = _level_idx_w(xn8, bx, by, bz, res, res ** 3 <= T, T)
-    oh = (idx >> 7 == sub_iota).astype(jnp.bfloat16)   # [8B, S]
+    oh = (hi_ref[:, li:li + 1] == sub_iota).astype(jnp.bfloat16)
     rows = jax.lax.dot_general(
         oh, tab_ref[li],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [8B, 128F]
-    lsel = (idx & 127) == lanes                        # [8B, 128]
-    for f in range(F):
-      m = jnp.where(lsel, rows[:, 128 * f:128 * (f + 1)], 0.0) * w
-      s = jnp.sum(m, axis=1, keepdims=True)            # [8B, 1]
-      acc = s[0:B]
-      for c in range(1, 8):
-        acc = acc + s[c * B:(c + 1) * B]
-      out_ref[:, li * F + f:li * F + f + 1] = acc
+    lsel = lo_ref[:, li:li + 1] == lanes               # [8B, 128]
+    mw = jnp.where(lsel, w_ref[:, li:li + 1], 0.0)     # [8B, 128]
+    parts = [rows[:, 128 * f:128 * (f + 1)] * mw for f in range(F)]
+    m = jnp.concatenate(parts, axis=1)                 # [8B, 128F]
+    acc = m[0:B]
+    for c in range(1, 8):
+      acc = acc + m[c * B:(c + 1) * B]                 # [B, 128F]
+    cols.append(jax.lax.dot_general(
+        acc, fsel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST = full-f32 passes: the default single bf16 pass
+        # rounds the trilinear-weighted sums to ~1e-3 (measured)
+        precision=jax.lax.Precision.HIGHEST))          # [B, F]
+  out_ref[...] = jnp.concatenate(cols, axis=1)
 
 
-def _hash_bwd_kernel(pts_ref, g_ref, dtab_ref, *, block_pts, levels,
-                     table_size, features, resolutions, bbox_min,
-                     bbox_max):
+def _hash_bwd_kernel(hi_ref, lo_ref, wg_ref, dtab_ref, *, block_pts,
+                     levels, table_size, features):
   """d(table rows) += ohᵀ @ (lane-one-hot · w·g) — scatter-free, one
-  transposed matmul per level with corners folded into the rows."""
-  B, S, F, T = block_pts, table_size // 128, features, table_size
+  transposed matmul per level with corners folded into the rows. The
+  w·g products arrive precomputed ([8B, L·F], XLA-side)."""
+  B, S, F = block_pts, table_size // 128, features
 
   @pl.when(pl.program_id(0) == 0)
   def _zero():
     dtab_ref[...] = jnp.zeros(dtab_ref.shape, dtab_ref.dtype)
 
-  pts = pts_ref[:, 0:3]
-  xn = jnp.clip((pts - bbox_min) / (bbox_max - bbox_min), 0.0, 1.0)
-  xn8 = jnp.concatenate([xn] * 8, axis=0)              # [8B, 3]
-  bx, by, bz = _corner_cols(B)
   sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8 * B, S), 1)
   lanes = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 128), 1)
   for li in range(levels):
-    res = resolutions[li]
-    idx, w = _level_idx_w(xn8, bx, by, bz, res, res ** 3 <= T, T)
-    oh = (idx >> 7 == sub_iota).astype(jnp.bfloat16)   # [8B, S]
-    lsel = (idx & 127) == lanes                        # [8B, 128]
-    vals = []
-    for f in range(F):
-      gcol = g_ref[:, li * F + f:li * F + f + 1]       # [B, 1]
-      g8 = jnp.concatenate([gcol] * 8, axis=0)         # [8B, 1]
-      vals.append(jnp.where(lsel, w * g8, 0.0))        # [8B, 128]
+    oh = (hi_ref[:, li:li + 1] == sub_iota).astype(jnp.bfloat16)
+    lsel = lo_ref[:, li:li + 1] == lanes               # [8B, 128]
+    vals = [jnp.where(lsel, wg_ref[:, li * F + f:li * F + f + 1], 0.0)
+            for f in range(F)]                         # F × [8B, 128]
     val = jnp.concatenate(vals, axis=-1).astype(jnp.bfloat16)
     dtab_ref[li] = dtab_ref[li] + jax.lax.dot_general(
         oh, val, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -207,21 +227,22 @@ def _rows_to_table(rows_f32, levels, table_size, features):
   return jnp.transpose(r4, (0, 1, 3, 2)).reshape(L * T, F)
 
 
-def _fwd_call(tab_rows, pts, *, block_pts, levels, table_size, features,
-              resolutions, bbox_min, bbox_max, interpret):
-  P = pts.shape[0]
+def _fwd_call(tab_rows, hi8, lo8, w8, *, block_pts, levels, table_size,
+              features, interpret):
+  P8 = hi8.shape[0]
+  P = P8 // 8
   assert P % block_pts == 0, (P, block_pts)
   S = table_size // 128
   kernel = functools.partial(
       _hash_fwd_kernel, block_pts=block_pts, levels=levels,
-      table_size=table_size, features=features, resolutions=resolutions,
-      bbox_min=bbox_min, bbox_max=bbox_max)
+      table_size=table_size, features=features)
+  wide = pl.BlockSpec((8 * block_pts, levels), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
   return pl.pallas_call(
       kernel,
       grid=(P // block_pts,),
       in_specs=[
-          pl.BlockSpec((block_pts, 3), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
+          wide, wide, wide,
           pl.BlockSpec((levels, S, 128 * features), lambda i: (0, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
@@ -231,28 +252,28 @@ def _fwd_call(tab_rows, pts, *, block_pts, levels, table_size, features,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(pts, tab_rows)
+  )(hi8, lo8, w8, tab_rows)
 
 
-def _bwd_call(pts, g, *, block_pts, levels, table_size, features,
-              resolutions, bbox_min, bbox_max, interpret):
-  # smaller blocks than the forward: see DEFAULT_BWD_BLOCK_PTS
+def _bwd_call(hi8, lo8, wg8, *, block_pts, levels, table_size, features,
+              interpret):
   block_pts = min(block_pts, DEFAULT_BWD_BLOCK_PTS)
-  P = pts.shape[0]
+  P8 = hi8.shape[0]
+  P = P8 // 8
   assert P % block_pts == 0, (P, block_pts)
   S = table_size // 128
   kernel = functools.partial(
       _hash_bwd_kernel, block_pts=block_pts, levels=levels,
-      table_size=table_size, features=features, resolutions=resolutions,
-      bbox_min=bbox_min, bbox_max=bbox_max)
+      table_size=table_size, features=features)
+  wide = pl.BlockSpec((8 * block_pts, levels), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
   return pl.pallas_call(
       kernel,
       grid=(P // block_pts,),
       in_specs=[
-          pl.BlockSpec((block_pts, 3), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((block_pts, levels * features), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
+          wide, wide,
+          pl.BlockSpec((8 * block_pts, levels * features),
+                       lambda i: (i, 0), memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((levels, S, 128 * features),
                              lambda i: (0, 0, 0),
@@ -262,7 +283,7 @@ def _bwd_call(pts, g, *, block_pts, levels, table_size, features,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
-  )(pts, g)
+  )(hi8, lo8, wg8)
 
 
 @functools.lru_cache(maxsize=8)
@@ -272,19 +293,34 @@ def _make_hash_encode(levels, table_size, features, resolutions,
   Gradient reaches the table only (pts cotangent is zeros)."""
 
   kw = dict(block_pts=block_pts, levels=levels, table_size=table_size,
-            features=features, resolutions=resolutions,
-            bbox_min=bbox_min, bbox_max=bbox_max, interpret=interpret)
+            features=features, interpret=interpret)
+
+  def _packed(pts):
+    idx, w = _idx_w_all(pts, resolutions, table_size, bbox_min, bbox_max)
+    hi8 = _pack_corner_major(idx >> 7, block_pts)
+    lo8 = _pack_corner_major(idx & 127, block_pts)
+    w8 = _pack_corner_major(w, block_pts)
+    return hi8, lo8, w8
 
   @jax.custom_vjp
   def encode(table, pts):
     rows = _table_rows(table, levels, table_size, features)
-    return _fwd_call(rows, pts, **kw)
+    return _fwd_call(rows, *_packed(pts), **kw)
 
   def fwd(table, pts):
     return encode(table, pts), pts
 
   def bwd(pts, g):
-    drows = _bwd_call(pts, g, **kw)
+    # recompute the packed indices (6 MB of residuals beats 400 MB)
+    hi8, lo8, w8 = _packed(pts)
+    P = pts.shape[0]
+    nb = P // block_pts
+    g8 = jnp.broadcast_to(
+        g.reshape(nb, 1, block_pts, levels * features),
+        (nb, 8, block_pts, levels * features)
+    ).reshape(8 * P, levels * features)
+    wg8 = jnp.repeat(w8, features, axis=1) * g8
+    drows = _bwd_call(hi8, lo8, wg8, **kw)
     dtable = _rows_to_table(drows, levels, table_size, features)
     return dtable, jnp.zeros_like(pts)
 
@@ -310,6 +346,11 @@ def hash_encode(table, pts, *, levels: int = 8,
       "the XLA-gather hybrid (see BENCH_NOTES.md for the measured bound)",
       table_size)
   res = tuple(_resolutions(levels, base_res, max_res))
+  if table_size > (1 << 14) and block_pts > 512:
+    # S > 128 doubles the one-hot/rows working set per row; 1024-pt
+    # blocks at S = 512 blow the v5e scoped-VMEM stack (compile-helper
+    # crash) — halve the block instead of failing
+    block_pts = 512
   enc = _make_hash_encode(levels, table_size, features, res,
                           float(bbox_min), float(bbox_max), block_pts,
                           interpret)
