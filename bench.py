@@ -106,11 +106,17 @@ def bench_render(params, rays):
   return (n + pad) / dt
 
 
-def bench_train(params, fused: bool):
-  """Train-step rays/sec: fused custom-VJP kernel vs the XLA oracle."""
+def bench_train(params, fused, one_kernel: bool = False):
+  """Train-step rays/sec: fused custom-VJP kernel vs the XLA oracle.
+
+  one_kernel=True measures the ONE-kernel fused L2 step
+  (render.fused_plain_cp_train_step: the backward kernel computes the
+  loss cotangent from its own forward recompute, eliminating the
+  separate forward pass of the value_and_grad path)."""
   import optax
   from nerf_atlas_tpu.ops import rays as rays_ops
-  from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_render_train
+  from nerf_atlas_tpu.ops.pallas.render import (fused_plain_cp_render_train,
+                                                fused_plain_cp_train_step)
   model = _flagship(jnp.bfloat16 if fused else jnp.float32)
 
   key = jax.random.PRNGKey(0)
@@ -133,7 +139,13 @@ def bench_train(params, fused: bool):
         rgb = model.apply(p, rays, train=True, rngs={"sampler": k})["rgb"]
       return jnp.mean((rgb - target) ** 2)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    if one_kernel:
+      ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+      loss, grads = fused_plain_cp_train_step(params, rays, target, ts,
+                                              steps=STEPS, t_near=2.0,
+                                              t_far=6.0)
+    else:
+      loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = tx.update(grads, opt_state)
     return optax.apply_updates(params, updates), opt_state, loss
 
@@ -224,8 +236,27 @@ def bench_config_train(kind, fused=False, n=15):
   tx = optax.adam(5e-4)
   opt_state = tx.init(params)
 
+  # kinds whose fused measurement uses the ONE-kernel L2 train step
+  # (in-kernel loss cotangent — render.fused_plain_*_train_step)
+  one_kernel = fused and kind in ("tiny", "posenc", "mip", "hash")
+
   @jax.jit
   def step(params, opt_state, k):
+    if one_kernel:
+      from nerf_atlas_tpu.ops.pallas.render import (
+          fused_plain_cp_train_step, fused_plain_hash_train_step)
+      ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+      if kind == "hash":
+        loss, grads = fused_plain_hash_train_step(
+            params, rays, target, ts, steps=STEPS, t_near=2.0, t_far=6.0)
+      else:
+        enc = {"tiny": "tiny", "posenc": "posenc", "mip": "cone"}[kind]
+        loss, grads = fused_plain_cp_train_step(
+            params, rays, target, ts, steps=STEPS, t_near=2.0, t_far=6.0,
+            enc_kind=enc)
+      updates, opt_state2 = tx.update(grads, opt_state)
+      return optax.apply_updates(params, updates), opt_state2, loss
+
     def loss_fn(p):
       if fused and kind in ("dnerf", "dnerf_spline"):
         from nerf_atlas_tpu.ops.pallas.render_dyn import (
@@ -385,11 +416,12 @@ def main():
 
   render_rps = bench_render(params, rays)
   try:
-    train_fused = bench_train(params, fused=True)
+    train_fused = bench_train(params, fused=True, one_kernel=True)
+    train_fused_2k = bench_train(params, fused=True)
   except Exception as e:  # noqa: BLE001
     print(f"# fused train kernel unavailable: {type(e).__name__}: {e}",
           flush=True)
-    train_fused = None
+    train_fused = train_fused_2k = None
   train_xla = bench_train(params, fused=False)
 
   baseline, baseline_src = _baseline()
@@ -402,6 +434,8 @@ def main():
       "baseline_source": baseline_src,
       "train_rays_per_sec_fused": (None if train_fused is None
                                    else round(train_fused, 1)),
+      "train_rays_per_sec_fused_2kernel": (None if train_fused_2k is None
+                                           else round(train_fused_2k, 1)),
       "train_rays_per_sec_xla": round(train_xla, 1),
       "train_vs_baseline": (None if train_fused is None
                             else round(train_fused / baseline, 2)),

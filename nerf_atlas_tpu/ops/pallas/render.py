@@ -891,7 +891,7 @@ def _flatten_bt(m, B, T):
 def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                        *refs, steps, block_rays,
                        sigmoid_kind="thin", sky_white=False,
-                       enc_kind="cp"):
+                       enc_kind="cp", loss_scale=None):
   """refs = (packed_ref?, *w_refs, *dw_refs) in `_flatten_params` order;
   for enc_kind "cp", packed_ref is the [3, 240, 32] block-diagonal CP
   lines (same packing as the forward kernel) — gradients still scatter to
@@ -899,8 +899,19 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   encoder gradients (IPE is closed-form). enc_kind "hash" leads with the
   precomputed [P, F] feature stream and trails with a [P, F] feature-
   cotangent output — XLA chains it through the hash-gather VJP (the
-  trilinear scatter-add grad of the 33 MB table stays out of VMEM)."""
-  feat_ref = dfeat_ref = None
+  trilinear scatter-add grad of the 33 MB table stays out of VMEM).
+
+  loss_scale: one-kernel TRAIN-STEP mode. g_ref then carries the TARGET
+  rgb [B, 4] (col 3 unused) instead of an output cotangent, refs gains a
+  trailing [8, 128] loss accumulator, and the kernel computes the L2
+  cotangent g = 2·loss_scale·(out − target) from its own recomputed
+  forward — eliminating the separate forward pass a
+  `jax.value_and_grad` over the custom-VJP render would run (the
+  recompute here already produces `out`). loss_scale = 1/(N_total·3)
+  so Σ g·dout matches d mean((out−target)²)."""
+  feat_ref = dfeat_ref = loss_ref = None
+  if loss_scale is not None:
+    loss_ref, refs = refs[-1], refs[:-1]
   if enc_kind == "cp":
     packed_ref, refs = refs[0], refs[1:]
   elif enc_kind == "hash":
@@ -915,6 +926,8 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   def _zero():
     for r in grefs:
       r[...] = jnp.zeros(r.shape, r.dtype)
+    if loss_ref is not None:
+      loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
 
   B, T = block_rays, steps
   P = B * T
@@ -994,8 +1007,26 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
       density, r_d, dists_ref[:, :], B, T)
 
+  if loss_scale is None:
+    g = g_ref[:, :]
+  else:
+    # ---- one-kernel train step: finish the forward (composited rgb,
+    # the `_write_outputs` math) and derive the L2 cotangent in-VMEM ----
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
+    out_cols = []
+    for c in range(3):
+      rc = rgb[:, c:c + 1].reshape(B, T)
+      out_cols.append(jnp.sum(weights * rc, axis=-1, keepdims=True) + sky)
+    diff = jnp.concatenate(out_cols, axis=-1) - g_ref[:, 0:3]   # [B, 3]
+    part = jnp.sum(jnp.sum(diff * diff, axis=0, keepdims=True),
+                   axis=1, keepdims=True)                        # [1, 1]
+    loss_ref[...] += jnp.broadcast_to(part, loss_ref.shape)
+    g = jnp.concatenate(
+        [2.0 * loss_scale * diff, jnp.zeros((B, 1), jnp.float32)], axis=-1)
+
   # ---- backward: compositing ----
-  drgb, ddensity = _composite_bwd(g_ref[:, :], rgb, density, weights,
+  drgb, ddensity = _composite_bwd(g, rgb, density, weights,
                                   alpha, trans, one_m_alpha, dists, B, T,
                                   sky_white)
   drgb_raw = drgb * dact                                  # [P, 3]
@@ -1043,14 +1074,18 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
 
 def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                    interpret, sigmoid_kind="thin", sky_white=False,
-                   enc_kind="cp", feats=None):
+                   enc_kind="cp", feats=None, loss_scale=None):
+  """loss_scale: one-kernel train-step mode — `g` is the [N, 4] target
+  (rgb ‖ 0) and the returned tuple gains a trailing [8, 128] loss
+  accumulator (every lane holds Σ(out−target)²; read [0, 0])."""
   extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_render_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind,
-                             sky_white=sky_white, enc_kind=enc_kind)
+                             sky_white=sky_white, enc_kind=enc_kind,
+                             loss_scale=loss_scale)
   grid = (N // block_rays,)
   in_specs = [pl.BlockSpec((block_rays, 6), lambda i: (i, 0),
                            memory_space=pltpu.VMEM),
@@ -1087,6 +1122,11 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                                   memory_space=pltpu.VMEM))
     out_shapes.append(
         jax.ShapeDtypeStruct((N * steps, feats.shape[-1]), jnp.float32))
+  if loss_scale is not None:
+    # grid-accumulated loss (one vreg; all lanes carry the same sum)
+    out_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
   return pl.pallas_call(
       kernel,
       grid=grid,
@@ -1218,6 +1258,107 @@ def fused_plain_cp_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(ws, rays, elaz, ts, dists)
+
+
+def _bf_ws(ws):
+  return tuple(
+      w.astype(jnp.bfloat16) if w.ndim >= 2 and w.shape[0] > 1 else w
+      for w in ws)
+
+
+def fused_plain_cp_train_step(params, rays, target, ts=None, *,
+                              steps: int = 64, t_near: float = 2.0,
+                              t_far: float = 6.0,
+                              bwd_block_rays: int = BWD_BLOCK_RAYS,
+                              interpret: bool = False,
+                              sigmoid_kind: str = "thin",
+                              sky_kind: str = "black",
+                              enc_kind: str = "cp"):
+  """ONE-kernel fused train step: (loss, grads) for
+  loss = mean((render(rays)[:, :3] − target)²).
+
+  `jax.value_and_grad` over `fused_plain_cp_render_train` runs TWO
+  kernels — the forward for the primal, then the backward, which
+  RECOMPUTES the forward in VMEM anyway (its activation stash). When the
+  loss is the plain L2 the training loop actually uses, the recompute
+  can produce the loss and its cotangent itself: one kernel, ~35 of 140
+  matmul passes saved (measured: BENCH_NOTES round-4 train-step entry).
+  Gradients flow to `params` via jax.vjp through `_flatten_params`
+  (weights only — rays/ts carry no gradient, as on the custom-VJP path).
+  enc_kind: "cp" | "posenc" | "tiny" | "cone" | "cylinder".
+  """
+  ws, unflat = jax.vjp(
+      lambda p: tuple(_flatten_params(p, enc_kind=enc_kind)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+  outs = _backward_call(_bf_ws(ws), rays, elaz, ts, dists, tgt,
+                        steps=steps, block_rays=bwd_block_rays,
+                        interpret=interpret, sigmoid_kind=sigmoid_kind,
+                        sky_white=sky_kind == "white", enc_kind=enc_kind,
+                        loss_scale=scale)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dparams,) = unflat(dws)
+  return loss_acc[0, 0] * scale, dparams
+
+
+def fused_plain_cp_train_step_sharded(
+    params, rays, target, ts=None, *, mesh, axis: str = "data",
+    steps: int = 64, t_near: float = 2.0, t_far: float = 6.0,
+    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
+    sigmoid_kind: str = "thin", sky_kind: str = "black",
+    enc_kind: str = "cp"):
+  """Multi-chip one-kernel train step: rays/targets shard over the data
+  axis, weights replicate; each chip runs the loss-mode backward kernel
+  on its shard and the per-shard loss and weight cotangents are psum'ed
+  over ICI — the grads match the single-chip step on the global batch
+  (loss_scale uses the GLOBAL N)."""
+  from jax.sharding import PartitionSpec as P
+  try:
+    from jax import shard_map  # jax >= 0.8
+  except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+  ws, unflat = jax.vjp(
+      lambda p: tuple(_flatten_params(p, enc_kind=enc_kind)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+
+  def local(ws_, rays_, elaz_, ts_, dists_, tgt_):
+    outs = _backward_call(_bf_ws(ws_), rays_, elaz_, ts_, dists_, tgt_,
+                          steps=steps, block_rays=bwd_block_rays,
+                          interpret=interpret, sigmoid_kind=sigmoid_kind,
+                          sky_white=sky_kind == "white", enc_kind=enc_kind,
+                          loss_scale=scale)
+    return tuple(jax.lax.psum(o, axis) for o in outs)
+
+  import inspect
+  sig = inspect.signature(shard_map).parameters
+  no_check = ({"check_vma": False} if "check_vma" in sig
+              else {"check_rep": False})
+  smapped = shard_map(
+      local, mesh=mesh,
+      in_specs=(P(), P(axis), P(axis), P(), P(), P(axis)),
+      out_specs=P(), **no_check)
+  outs = smapped(ws, rays, elaz, ts, dists, tgt)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dparams,) = unflat(dws)
+  return loss_acc[0, 0] * scale, dparams
 
 
 # ---------------------------------------------------------------------------
@@ -1433,6 +1574,44 @@ def fused_plain_hash_render_train_sharded(
   return smapped(ws, table, rays, elaz, ts, dists)
 
 
+def fused_plain_hash_train_step(params, rays, target, ts=None, *,
+                                steps: int = 64, t_near: float = 2.0,
+                                t_far: float = 6.0,
+                                bwd_block_rays: int = BWD_BLOCK_RAYS,
+                                interpret: bool = False,
+                                sigmoid_kind: str = "thin",
+                                sky_kind: str = "black"):
+  """ONE-kernel fused L2 train step for the hash envelope (see
+  `fused_plain_cp_train_step`): the loss-mode backward kernel emits the
+  MLP-weight cotangents, the [P, F] feature cotangent, and the loss; the
+  table gradient chains through `_hash_apply`'s VJP in XLA."""
+  (ws, table), unflat = jax.vjp(
+      lambda p: (tuple(_flatten_params(p, enc_kind="hash")),
+                 _hash_table(p)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  feats, fvjp = jax.vjp(
+      lambda tb: _hash_apply(tb, _hash_pts(rays, ts, steps),
+                             interpret=interpret), table)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+  outs = _backward_call(_bf_ws(ws), rays, elaz, ts, dists, tgt,
+                        steps=steps, block_rays=bwd_block_rays,
+                        interpret=interpret, sigmoid_kind=sigmoid_kind,
+                        sky_white=sky_kind == "white", enc_kind="hash",
+                        feats=feats, loss_scale=scale)
+  dws, dfeat, loss_acc = outs[:-2], outs[-2], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dtable,) = fvjp(dfeat)
+  (dparams,) = unflat((dws, dtable))
+  return loss_acc[0, 0] * scale, dparams
+
+
 # ---------------------------------------------------------------------------
 # MipNeRF IPE envelope: PlainNeRF(mip="cone"|"cylinder") — the density MLP
 # consumes closed-form IPE features computed IN the kernel (BASELINE config
@@ -1483,6 +1662,14 @@ def fused_plain_mip_render_train(params, rays, ts=None, *,
   render = _make_diff_render(steps, block_rays, bwd_block_rays, interpret,
                              sigmoid_kind, sky_kind == "white", mip_kind)
   return render(ws, rays, elaz, ts, dists)
+
+
+def fused_plain_mip_train_step(params, rays, target, ts=None, *,
+                               mip_kind: str = "cone", **kw):
+  """ONE-kernel fused L2 train step for the mip/IPE envelope (see
+  `fused_plain_cp_train_step`)."""
+  return fused_plain_cp_train_step(params, rays, target, ts,
+                                   enc_kind=mip_kind, **kw)
 
 
 # ---------------------------------------------------------------------------

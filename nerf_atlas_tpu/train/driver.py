@@ -423,9 +423,93 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     return None
 
 
+def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
+                   mesh):
+  """The ONE-kernel fused train step (render.fused_plain_*_train_step):
+  the backward kernel computes the plain-L2 loss and its cotangent from
+  its own forward recompute, eliminating the separate forward kernel a
+  value_and_grad step runs (~25% of the step). Engages only when the
+  training loss IS the kernel's: plain l2 on rgb, no color transforms,
+  no regularizers, no style/tone/gamma, 3-channel labels. Returns
+  fn(params, rays, pix, t, key) -> (loss, grads) or None."""
+  try:
+    from ..parallel import model_axis_size
+    if model_axis_size(mesh) > 1:
+      return None
+    if (tuple(cfg.loss_kinds) != ("l2",)
+        or tuple(cfg.color_spaces) != ("rgb",)
+        or cfg.tone_map or cfg.gamma_correct or cfg.style_img
+        or cfg.style_weight or cfg.reg_coeffs and any(
+            cfg.reg_coeffs.values())
+        # an alpha/mask 4th label channel is IGNORED for rgb-only preds
+        # (losses.load_loss_fn applies the mask term only when BOTH
+        # sides carry it) — the step slices pix[..., :3], same math
+        or ds.pixels.shape[-1] not in (3, 4) or ds.times is not None
+        or cfg.volsdf_alternate):
+      return None
+    from ..models import PlainNeRF, TinyNeRF
+    if not isinstance(model, (PlainNeRF, TinyNeRF)):
+      return None
+    if not _fused_common_ok(model, cfg, extra_kwargs) or getattr(
+        ds, "lights", None) is not None:
+      return None
+    from ..ops import rays as rays_ops
+    from ..ops.pallas.render import (DEFAULT_BLOCK_RAYS, TINY_HIDDEN,
+                                     TINY_LAYERS, _flatten_params,
+                                     fused_plain_cp_train_step,
+                                     fused_plain_cp_train_step_sharded,
+                                     fused_plain_hash_train_step)
+    if isinstance(model, TinyNeRF):
+      mkw = dict(model.mlp_kwargs or {})
+      arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
+                 and mkw.pop("hidden_size", TINY_HIDDEN) == TINY_HIDDEN
+                 and not mkw)
+      if not arch_ok or model.mip is not None:
+        return None
+      enc_kind = "tiny"
+    else:
+      if ((model.mip is None
+           and model.enc_kind not in ("cp", "posenc", "hash"))
+          or model.refl_kind != "view"
+          or model.intermediate_size != 32
+          or model.refl_space != "identity"):
+        return None
+      enc_kind = model.mip or model.enc_kind
+      if enc_kind == "hash":
+        if mesh is not None:  # hash one-kernel step has no sharded form
+          return None
+        if any(k != "table_size" for k in (model.enc_kwargs or {})):
+          return None
+        params["params"]["density_mlp"]["enc"]["table"]
+    if mesh is not None and (
+        mesh.size == 1
+        or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
+      return None
+    _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+
+    def fn(p, rays, pix, t, key):
+      ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                               perturb=1.0, key=key)[None]
+      kw = dict(steps=model.steps, t_near=model.t_near,
+                t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+                sky_kind=model.sky_kind)
+      if enc_kind == "hash":
+        return fused_plain_hash_train_step(p, rays, pix, ts, **kw)
+      if mesh is not None:
+        return fused_plain_cp_train_step_sharded(p, rays, pix, ts,
+                                                 mesh=mesh,
+                                                 enc_kind=enc_kind, **kw)
+      return fused_plain_cp_train_step(p, rays, pix, ts,
+                                       enc_kind=enc_kind, **kw)
+
+    return fn
+  except (KeyError, ValueError, TypeError, AssertionError):
+    return None
+
+
 def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
                     extra_kwargs: Optional[dict] = None, mesh=None,
-                    fused_train=None):
+                    fused_train=None, fused_step=None):
   """Build the jitted train step (params, opt_state, key) -> ... .
 
   With cfg.train_camera, `params` is {"model": ..., "camera": <pytree>}
@@ -549,8 +633,21 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         reg = reg * keep
       return main + reg, main
 
-    (loss, main), grads = jax.value_and_grad(compute_loss,
-                                             has_aux=True)(params)
+    if fused_step is not None:
+      # one-kernel fused step: the backward kernel computes the plain-L2
+      # loss and cotangent itself — no value_and_grad forward pass
+      rays, pix, t, view = ds.sample(
+          k1, cfg.batch_size, jitter=cfg.pixel_jitter,
+          serial_step=step_i if cfg.serial_idxs else None,
+          end_bias=cfg.end_bias)
+      if mesh is not None:
+        rays = jax.lax.with_sharding_constraint(rays, batch_sharding)
+        pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
+      loss, grads = fused_step(params, rays, pix[..., :3], t, k2)
+      main = loss
+    else:
+      (loss, main), grads = jax.value_and_grad(compute_loss,
+                                               has_aux=True)(params)
     if cfg.train_only:
       # --train-parts refl/occ/path-tf analog (reference
       # runner.py:1266-1280): only the selected parameter groups
@@ -629,13 +726,19 @@ def train(model, ds: sampler_lib.RayDataset, cfg: TrainConfig,
   if opt_state_saved is not None:
     from flax import serialization
     opt_state = serialization.from_state_dict(opt_state, opt_state_saved)
-  fused_train = _fused_train_fn(
+  fused_step = _fused_step_fn(
       model, cfg, ds, extra_kwargs,
       params["model"] if cfg.train_camera else params, mesh)
-  if fused_train is not None:
+  fused_train = None if fused_step is not None else _fused_train_fn(
+      model, cfg, ds, extra_kwargs,
+      params["model"] if cfg.train_camera else params, mesh)
+  if fused_step is not None:
+    print("[train] fused Pallas train kernel engaged (one-kernel step)")
+  elif fused_train is not None:
     print("[train] fused Pallas train kernel engaged")
   step_fn = make_train_step(model, ds, loss_fn, tx, cfg, extra_kwargs,
-                            mesh=mesh, fused_train=fused_train)
+                            mesh=mesh, fused_train=fused_train,
+                            fused_step=fused_step)
 
   from ..utils.profiling import step_timer, trace
   timer = step_timer()

@@ -453,3 +453,93 @@ def test_fused_tiny_render_and_grad_match_oracle():
   # posenc-class bf16 sensitivity bound (see the cp/posenc test above)
   assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
   assert checked == 2 * (6 + 2)  # every layer's kernel+bias got grads
+
+
+@pytest.mark.parametrize("enc_kind", ["cp", "posenc", "tiny", "cone"])
+def test_fused_train_step_matches_vjp_path(enc_kind):
+  """One-kernel train step (in-kernel L2 cotangent, render.py
+  fused_plain_cp_train_step) vs jax.value_and_grad through the two-kernel
+  custom-VJP path. Identical kernel math on both sides — only where the
+  loss/cotangent is computed differs — so the match is tight."""
+  from nerf_atlas_tpu.ops.pallas.render import fused_plain_cp_train_step
+
+  if enc_kind == "tiny":
+    model = models.TinyNeRF(steps=16, t_near=2.0, t_far=6.0)
+  elif enc_kind == "cone":
+    model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0, mip="cone")
+  else:
+    model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                             enc_kind=enc_kind)
+  n = 32
+  key = jax.random.PRNGKey(3)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  def loss_vjp(p):
+    out = fused_plain_cp_render_train(p, rays, steps=16, t_near=2.0,
+                                      t_far=6.0, block_rays=16,
+                                      bwd_block_rays=16, interpret=True,
+                                      enc_kind=enc_kind)
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  lo, go = jax.value_and_grad(loss_vjp)(params)
+  lf, gf = fused_plain_cp_train_step(params, rays, target, steps=16,
+                                     t_near=2.0, t_far=6.0,
+                                     bwd_block_rays=16, interpret=True,
+                                     enc_kind=enc_kind)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  assert len(flat_f) == len(flat_o) and flat_f
+  for path, g_fused in flat_f:
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(flat_o[path]),
+                               rtol=1e-4, atol=5e-6,
+                               err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_hash_train_step_matches_vjp_path():
+  """One-kernel train step for the hash envelope (table grad chains
+  through the XLA hash VJP) vs value_and_grad over the two-kernel path."""
+  from nerf_atlas_tpu.ops.pallas.render import (
+      fused_plain_hash_render_train, fused_plain_hash_train_step)
+
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                           enc_kind="hash",
+                           enc_kwargs={"table_size": 1 << 11})
+  n = 32
+  key = jax.random.PRNGKey(3)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+
+  def loss_vjp(p):
+    out = fused_plain_hash_render_train(p, rays, steps=16, t_near=2.0,
+                                        t_far=6.0, block_rays=16,
+                                        bwd_block_rays=16, interpret=True)
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  lo, go = jax.value_and_grad(loss_vjp)(params)
+  lf, gf = fused_plain_hash_train_step(params, rays, target, steps=16,
+                                       t_near=2.0, t_far=6.0,
+                                       bwd_block_rays=16, interpret=True)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  assert len(flat_f) == len(flat_o) and flat_f
+  table_checked = False
+  for path, g_fused in flat_f:
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(flat_o[path]),
+                               rtol=1e-4, atol=5e-6,
+                               err_msg=jax.tree_util.keystr(path))
+    if "table" in jax.tree_util.keystr(path):
+      table_checked = bool(np.abs(np.asarray(g_fused)).max() > 0)
+  assert table_checked  # the table received a real gradient

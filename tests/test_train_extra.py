@@ -198,3 +198,48 @@ def test_point_reg_coeffs_do_not_crash_the_train_step():
                                        "offset": 0.1})
   _, _, history = driver.train(model, ds, cfg)
   assert history and all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_fused_step_gate(monkeypatch):
+  """_fused_step_fn (the one-kernel L2 train step) engages exactly when
+  the training loss IS the kernel's plain L2 — and falls back to the
+  two-kernel/oracle path otherwise. Backend mocked to 'tpu' (the gate
+  rejects CPU outright)."""
+  imgs, cam, _ = __import__(
+      "nerf_atlas_tpu.data.synthetic", fromlist=["dataset"]).dataset(
+          num_views=4, size=16)
+  bundle = loaders.DatasetBundle(imgs, cam, None)
+  ds = sampler.RayDataset.from_bundle(bundle, size=16)
+  model = models.PlainNeRF(steps=8, enc_kind="cp")
+  params = model.init(
+      {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+      jnp.concatenate([jnp.zeros((4, 3)),
+                       jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1),
+      train=True)
+  monkeypatch.setattr(driver.jax, "default_backend", lambda: "tpu")
+
+  ok_cfg = driver.TrainConfig(steps=1, batch_size=128)
+  assert driver._fused_step_fn(model, ok_cfg, ds, None, params,
+                               None) is not None
+
+  for bad in (dict(loss_kinds=("l1",)),
+              dict(color_spaces=("hsv",)),
+              dict(gamma_correct=True),
+              dict(tone_map=True),
+              dict(reg_coeffs={"smooth_normals": 0.1}),
+              dict(batch_size=100)):
+    kw = dict(steps=1, batch_size=128)
+    kw.update(bad)
+    cfg = driver.TrainConfig(**kw)
+    assert driver._fused_step_fn(model, cfg, ds, None, params,
+                                 None) is None, bad
+
+  # TinyNeRF engages via the same step (enc_kind="tiny")
+  tiny = models.TinyNeRF(steps=8)
+  tparams = tiny.init(
+      {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+      jnp.concatenate([jnp.zeros((4, 3)),
+                       jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1),
+      train=True)
+  assert driver._fused_step_fn(tiny, ok_cfg, ds, None, tparams,
+                               None) is not None
