@@ -237,8 +237,9 @@ def bench_config_train(kind, fused=False, n=15):
   opt_state = tx.init(params)
 
   # kinds whose fused measurement uses the ONE-kernel L2 train step
-  # (in-kernel loss cotangent — render.fused_plain_*_train_step)
-  one_kernel = fused and kind in ("tiny", "posenc", "mip", "hash")
+  # (in-kernel loss cotangent — ops/pallas/*_train_step)
+  one_kernel = fused and kind in ("tiny", "posenc", "mip", "hash", "ae",
+                                  "volsdf", "dnerf", "dnerf_spline")
 
   @jax.jit
   def step(params, opt_state, k):
@@ -246,14 +247,29 @@ def bench_config_train(kind, fused=False, n=15):
       from nerf_atlas_tpu.ops.pallas.render import (
           fused_plain_cp_train_step, fused_plain_hash_train_step)
       ts = rays_ops.compute_ts(2.0, 6.0, STEPS, perturb=1.0, key=k)[None]
+      common = dict(steps=STEPS, t_near=2.0, t_far=6.0)
       if kind == "hash":
-        loss, grads = fused_plain_hash_train_step(
-            params, rays, target, ts, steps=STEPS, t_near=2.0, t_far=6.0)
+        loss, grads = fused_plain_hash_train_step(params, rays, target,
+                                                  ts, **common)
+      elif kind == "ae":
+        from nerf_atlas_tpu.ops.pallas.render_ae import fused_ae_train_step
+        loss, grads = fused_ae_train_step(params, rays, target, ts,
+                                          **common)
+      elif kind == "volsdf":
+        from nerf_atlas_tpu.ops.pallas.render_volsdf import (
+            fused_volsdf_train_step)
+        loss, grads = fused_volsdf_train_step(params, rays, target, ts,
+                                              **common)
+      elif kind in ("dnerf", "dnerf_spline"):
+        from nerf_atlas_tpu.ops.pallas.render_dyn import (
+            fused_dyn_cp_train_step)
+        loss, grads = fused_dyn_cp_train_step(
+            params, rays, times, target, ts,
+            spline_points=5 if kind == "dnerf_spline" else 0, **common)
       else:
         enc = {"tiny": "tiny", "posenc": "posenc", "mip": "cone"}[kind]
-        loss, grads = fused_plain_cp_train_step(
-            params, rays, target, ts, steps=STEPS, t_near=2.0, t_far=6.0,
-            enc_kind=enc)
+        loss, grads = fused_plain_cp_train_step(params, rays, target, ts,
+                                                enc_kind=enc, **common)
       updates, opt_state2 = tx.update(grads, opt_state)
       return optax.apply_updates(params, updates), opt_state2, loss
 

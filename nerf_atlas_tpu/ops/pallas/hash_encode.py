@@ -82,6 +82,8 @@ MAX_ONEHOT_TABLE = 1 << 16
 # compile helper, 1024 compiles)
 DEFAULT_BLOCK_PTS = 1024
 DEFAULT_BWD_BLOCK_PTS = 1024
+# lax.map piece bound for the packed-array working set (see hash_encode)
+_MAX_PIECE_PTS = 1 << 19
 
 
 def _resolutions(levels: int, base_res: int, max_res: int) -> list[int]:
@@ -355,6 +357,23 @@ def hash_encode(table, pts, *, levels: int = 8,
                           float(bbox_min), float(bbox_max), block_pts,
                           interpret)
   P = pts.shape[0]
+  # The corner-major packed arrays are [8P, L] with L ≈ 8 lanes of a
+  # 128-lane tile: their HBM footprint (and the pack-transpose temps) is
+  # 16× the logical bytes. At the train batch (≤2^19 points) that is a
+  # few GB and measured fine; a 65536-ray render chunk (4.2M points) hit
+  # 50 GB and OOM'd the 16 GB chip (QUALITY r4 sweep). Cap the working
+  # set by streaming pieces of ≤2^19 points through lax.map — the train
+  # step stays single-piece, eval renders serialize pieces (the table
+  # cotangent sums across pieces via map's transpose).
+  piece = _MAX_PIECE_PTS
+  if P > piece:
+    pad = (-P) % piece
+    if pad:
+      pts = jnp.concatenate(
+          [pts, jnp.zeros((pad, pts.shape[1]), pts.dtype)], axis=0)
+    out = jax.lax.map(lambda ps: enc(table, ps),
+                      pts.reshape(-1, piece, pts.shape[1]))
+    return out.reshape(-1, out.shape[-1])[:P]
   pad = (-P) % block_pts
   if pad:
     pts = jnp.concatenate(

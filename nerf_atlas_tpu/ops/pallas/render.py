@@ -888,6 +888,30 @@ def _flatten_bt(m, B, T):
   return jnp.sum(colsel * rep, axis=1, keepdims=True)
 
 
+def _loss_mode_cotangent(loss_scale, rgb, weights, tgt_ref, loss_ref,
+                         B, T, sky_white):
+  """Shared one-kernel train-step epilogue (see `_render_bwd_kernel`'s
+  loss_scale doc): finish the recomputed forward (composited rgb, the
+  `_write_outputs` math), accumulate the block's SCALED L2 contribution
+  loss_scale·Σ(out−target)² into loss_ref (all lanes carry the running
+  total — read [0, 0]; in-kernel scaling lets callers with extra loss
+  terms, e.g. the dyn kernel's dp column, fold them into the same
+  accumulator), and return the [B, 4] cotangent 2·loss_scale·diff (acc
+  column 0)."""
+  acc = jnp.sum(weights, axis=-1, keepdims=True)
+  sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
+  out_cols = []
+  for c in range(3):
+    rc = rgb[:, c:c + 1].reshape(B, T)
+    out_cols.append(jnp.sum(weights * rc, axis=-1, keepdims=True) + sky)
+  diff = jnp.concatenate(out_cols, axis=-1) - tgt_ref[:, 0:3]   # [B, 3]
+  part = jnp.sum(jnp.sum(diff * diff, axis=0, keepdims=True),
+                 axis=1, keepdims=True)                          # [1, 1]
+  loss_ref[...] += jnp.broadcast_to(loss_scale * part, loss_ref.shape)
+  return jnp.concatenate(
+      [2.0 * loss_scale * diff, jnp.zeros((B, 1), jnp.float32)], axis=-1)
+
+
 def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
                        *refs, steps, block_rays,
                        sigmoid_kind="thin", sky_white=False,
@@ -1010,20 +1034,8 @@ def _render_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref,
   if loss_scale is None:
     g = g_ref[:, :]
   else:
-    # ---- one-kernel train step: finish the forward (composited rgb,
-    # the `_write_outputs` math) and derive the L2 cotangent in-VMEM ----
-    acc = jnp.sum(weights, axis=-1, keepdims=True)
-    sky = (1.0 - (acc - weights[:, T - 1:T])) if sky_white else 0.0
-    out_cols = []
-    for c in range(3):
-      rc = rgb[:, c:c + 1].reshape(B, T)
-      out_cols.append(jnp.sum(weights * rc, axis=-1, keepdims=True) + sky)
-    diff = jnp.concatenate(out_cols, axis=-1) - g_ref[:, 0:3]   # [B, 3]
-    part = jnp.sum(jnp.sum(diff * diff, axis=0, keepdims=True),
-                   axis=1, keepdims=True)                        # [1, 1]
-    loss_ref[...] += jnp.broadcast_to(part, loss_ref.shape)
-    g = jnp.concatenate(
-        [2.0 * loss_scale * diff, jnp.zeros((B, 1), jnp.float32)], axis=-1)
+    g = _loss_mode_cotangent(loss_scale, rgb, weights, g_ref, loss_ref,
+                             B, T, sky_white)
 
   # ---- backward: compositing ----
   drgb, ddensity = _composite_bwd(g, rgb, density, weights,
@@ -1077,7 +1089,8 @@ def _backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
                    enc_kind="cp", feats=None, loss_scale=None):
   """loss_scale: one-kernel train-step mode — `g` is the [N, 4] target
   (rgb ‖ 0) and the returned tuple gains a trailing [8, 128] loss
-  accumulator (every lane holds Σ(out−target)²; read [0, 0])."""
+  accumulator (every lane holds the SCALED running loss
+  loss_scale·Σ(out−target)²; read [0, 0])."""
   extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
@@ -1306,7 +1319,7 @@ def fused_plain_cp_train_step(params, rays, target, ts=None, *,
   dws, loss_acc = outs[:-1], outs[-1]
   dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
   (dparams,) = unflat(dws)
-  return loss_acc[0, 0] * scale, dparams
+  return loss_acc[0, 0], dparams  # scaled in-kernel
 
 
 def fused_plain_cp_train_step_sharded(
@@ -1358,7 +1371,7 @@ def fused_plain_cp_train_step_sharded(
   dws, loss_acc = outs[:-1], outs[-1]
   dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
   (dparams,) = unflat(dws)
-  return loss_acc[0, 0] * scale, dparams
+  return loss_acc[0, 0], dparams  # scaled in-kernel
 
 
 # ---------------------------------------------------------------------------
@@ -1609,7 +1622,7 @@ def fused_plain_hash_train_step(params, rays, target, ts=None, *,
   dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
   (dtable,) = fvjp(dfeat)
   (dparams,) = unflat((dws, dtable))
-  return loss_acc[0, 0] * scale, dparams
+  return loss_acc[0, 0], dparams  # scaled in-kernel
 
 
 # ---------------------------------------------------------------------------

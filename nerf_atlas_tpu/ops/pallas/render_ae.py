@@ -165,8 +165,14 @@ def _ae_kernel(rays_ref, elaz_ref, ts_ref, dists_ref, *refs, steps,
 
 def _ae_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
                    steps, block_rays, sigmoid_kind="thin",
-                   sky_white=False):
-  """refs = (*w_refs, *dw_refs) in `_flatten_params_ae` order."""
+                   sky_white=False, loss_scale=None):
+  """refs = (*w_refs, *dw_refs) in `_flatten_params_ae` order.
+
+  loss_scale: one-kernel train-step mode (render.py `_render_bwd_kernel`
+  doc) — g_ref carries the target, refs trails a loss accumulator."""
+  loss_ref = None
+  if loss_scale is not None:
+    loss_ref, refs = refs[-1], refs[:-1]
   wrefs = refs[:N_WS_AE]
   grefs = refs[N_WS_AE:]
   assert len(grefs) == N_WS_AE
@@ -175,6 +181,8 @@ def _ae_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   def _zero():
     for r in grefs:
       r[...] = jnp.zeros(r.shape, r.dtype)
+    if loss_ref is not None:
+      loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
 
   B, T = block_rays, steps
   P = B * T
@@ -209,8 +217,15 @@ def _ae_bwd_kernel(rays_ref, elaz_ref, g_ref, ts_ref, dists_ref, *refs,
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
       density, r_d, dists_ref[:, :], B, T)
 
+  if loss_scale is None:
+    g = g_ref[:, :]
+  else:
+    from .render import _loss_mode_cotangent
+    g = _loss_mode_cotangent(loss_scale, rgb, weights, g_ref, loss_ref,
+                             B, T, sky_white)
+
   # ---- backward: compositing → refl → density_tfm → normalize → enc ----
-  drgb, ddensity = _composite_bwd(g_ref[:, :], rgb, density, weights,
+  drgb, ddensity = _composite_bwd(g, rgb, density, weights,
                                   alpha, trans, one_m_alpha, dists, B, T,
                                   sky_white)
   drgb_raw = drgb * stash["dact"]
@@ -296,12 +311,14 @@ def _ae_forward_call(ws, rays, elaz, ts, dists, *, steps, block_rays,
 
 
 def _ae_backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
-                      interpret, sigmoid_kind="thin", sky_white=False):
+                      interpret, sigmoid_kind="thin", sky_white=False,
+                      loss_scale=None):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
   kernel = functools.partial(_ae_bwd_kernel, steps=steps,
                              block_rays=block_rays,
-                             sigmoid_kind=sigmoid_kind, sky_white=sky_white)
+                             sigmoid_kind=sigmoid_kind, sky_white=sky_white,
+                             loss_scale=loss_scale)
   in_specs = _common_specs(block_rays, ts, dists, steps)
   in_specs.insert(2, pl.BlockSpec((block_rays, 4), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
@@ -312,6 +329,10 @@ def _ae_backward_call(ws, rays, elaz, ts, dists, g, *, steps, block_rays,
     out_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM))
     out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+  if loss_scale is not None:
+    out_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
   return pl.pallas_call(
       kernel,
       grid=(N // block_rays,),
@@ -430,3 +451,82 @@ def fused_ae_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(ws, rays, elaz, ts, dists)
+
+
+def fused_ae_train_step(params, rays, target, ts=None, *, steps: int = 64,
+                        t_near: float = 2.0, t_far: float = 6.0,
+                        bwd_block_rays: int = BWD_BLOCK_RAYS,
+                        interpret: bool = False,
+                        sigmoid_kind: str = "thin",
+                        sky_kind: str = "black"):
+  """ONE-kernel fused L2 train step for NeRFAE (see render.py
+  `fused_plain_cp_train_step`): the loss-mode backward kernel computes
+  the plain-L2 loss and cotangent from its own forward recompute —
+  no separate forward pass. Returns (loss, grads pytree)."""
+  ws, unflat = jax.vjp(lambda p: tuple(_flatten_params_ae(p)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+  outs = _ae_backward_call(_cast_ws(ws), rays, elaz, ts, dists, tgt,
+                           steps=steps, block_rays=bwd_block_rays,
+                           interpret=interpret, sigmoid_kind=sigmoid_kind,
+                           sky_white=sky_kind == "white", loss_scale=scale)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dparams,) = unflat(dws)
+  return loss_acc[0, 0], dparams  # scaled in-kernel
+
+
+def fused_ae_train_step_sharded(
+    params, rays, target, ts=None, *, mesh, axis: str = "data",
+    steps: int = 64, t_near: float = 2.0, t_far: float = 6.0,
+    bwd_block_rays: int = BWD_BLOCK_RAYS, interpret: bool = False,
+    sigmoid_kind: str = "thin", sky_kind: str = "black"):
+  """Multi-chip one-kernel NeRFAE train step: rays/targets shard over the
+  data axis; per-shard loss and weight cotangents psum over ICI."""
+  from jax.sharding import PartitionSpec as P
+  try:
+    from jax import shard_map  # jax >= 0.8
+  except ImportError:
+    from jax.experimental.shard_map import shard_map
+  import inspect
+
+  ws, unflat = jax.vjp(lambda p: tuple(_flatten_params_ae(p)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+
+  def local(ws_, rays_, elaz_, ts_, dists_, tgt_):
+    outs = _ae_backward_call(_cast_ws(ws_), rays_, elaz_, ts_, dists_,
+                             tgt_, steps=steps,
+                             block_rays=bwd_block_rays,
+                             interpret=interpret,
+                             sigmoid_kind=sigmoid_kind,
+                             sky_white=sky_kind == "white",
+                             loss_scale=scale)
+    return tuple(jax.lax.psum(o, axis) for o in outs)
+
+  sig = inspect.signature(shard_map).parameters
+  no_check = ({"check_vma": False} if "check_vma" in sig
+              else {"check_rep": False})
+  smapped = shard_map(
+      local, mesh=mesh,
+      in_specs=(P(), P(axis), P(axis), P(), P(), P(axis)),
+      out_specs=P(), **no_check)
+  outs = smapped(ws, rays, elaz, ts, dists, tgt)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dparams,) = unflat(dws)
+  return loss_acc[0, 0], dparams  # scaled in-kernel

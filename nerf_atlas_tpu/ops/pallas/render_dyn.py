@@ -231,11 +231,21 @@ N_WS_DYN = _n_ws_dyn("cp")
 def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
                     *refs, steps, block_rays,
                     sigmoid_kind="thin", sky_white=False, spline_points=0,
-                    want_dp=False, enc_kind="cp"):
+                    want_dp=False, enc_kind="cp", loss_scale=None,
+                    dp_coeff=0.0):
   """refs = (packed_ref?, *w_refs, *dw_refs) in `_flatten_params_dyn`
   order; for enc_kind "cp", packed_ref is the packed CP block-diagonal
   (per-level grads still scatter to the per-level grefs). posenc carries
-  no packed tensor and no encoder gradients (closed-form bands)."""
+  no packed tensor and no encoder gradients (closed-form bands).
+
+  loss_scale: one-kernel train-step mode (render.py `_render_bwd_kernel`
+  doc) — g_ref carries the [B, 4] TARGET, refs trails the loss
+  accumulator, and with want_dp the --dp-weight regularizer
+  dp_coeff·mean(dp²) folds into the same scaled accumulator (its
+  cotangent is the constant dp_coeff/N per ray-column)."""
+  loss_ref = None
+  if loss_scale is not None:
+    loss_ref, refs = refs[-1], refs[:-1]
   if enc_kind == "cp":
     packed_ref, refs = refs[0], refs[1:]
   nw = _n_ws_dyn(enc_kind)
@@ -247,6 +257,8 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
   def _zero():
     for r in grefs:
       r[...] = jnp.zeros(r.shape, r.dtype)
+    if loss_ref is not None:
+      loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
 
   B, T = block_rays, steps
   P = B * T
@@ -308,8 +320,24 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
       density, r_d, dists_ref[:, :], B, T)
 
+  if loss_scale is None:
+    g = g_ref[:, :]
+  else:
+    from .render import _loss_mode_cotangent
+    g = _loss_mode_cotangent(loss_scale, rgb, weights, g_ref, loss_ref,
+                             B, T, sky_white)
+    if want_dp:
+      # dp_coeff arrives pre-divided by N_rays: fold dp_coeff·mean(dp²)
+      # into the scaled loss and emit its constant per-ray cotangent
+      m = jnp.mean(jnp.mean(jnp.square(dp), axis=-1).reshape(B, T),
+                   axis=-1, keepdims=True)                    # [B, 1]
+      loss_ref[...] += jnp.broadcast_to(
+          dp_coeff * jnp.sum(m, axis=0, keepdims=True), loss_ref.shape)
+      g = jnp.concatenate(
+          [g, jnp.full((B, 1), dp_coeff, jnp.float32)], axis=-1)
+
   # ---- backward: compositing → refl → density → CP (with d_warped) ----
-  drgb, ddensity = _composite_bwd(g_ref[:, :], rgb, density, weights,
+  drgb, ddensity = _composite_bwd(g[:, 0:4], rgb, density, weights,
                                   alpha, trans, one_m_alpha, dists, B, T,
                                   sky_white)
   drgb_raw = drgb * dact
@@ -348,7 +376,7 @@ def _dyn_bwd_kernel(rays_ref, elaz_ref, times_ref, g_ref, ts_ref, dists_ref,
     # dp-reg adjoint: col 4 = (1/(3T)) Σ_{t,a} dp², so each sample adds
     # g5(ray) · 2·dp/(3T) directly to the dp cotangent (dp reaches the
     # output through warped pts AND this column)
-    cd = g_ref[:, 4:5] / float(T)                          # [B, 1]
+    cd = g[:, 4:5] / float(T)                              # [B, 1]
     cd_p = jnp.broadcast_to(cd[:, None, :], (B, T, 1)).reshape(P, 1)
     d_warped = d_warped + cd_p * ((2.0 / 3.0) * dp)
 
@@ -462,7 +490,7 @@ def _dyn_forward_call(ws, rays, elaz, times, ts, dists, *, steps,
 def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
                        block_rays, interpret, sigmoid_kind="thin",
                        sky_white=False, spline_points=0, want_dp=False,
-                       enc_kind="cp"):
+                       enc_kind="cp", loss_scale=None, dp_coeff=0.0):
   extra = ()
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
@@ -470,12 +498,14 @@ def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
                              spline_points=spline_points, want_dp=want_dp,
-                             enc_kind=enc_kind)
+                             enc_kind=enc_kind, loss_scale=loss_scale,
+                             dp_coeff=dp_coeff)
   grid = (N // block_rays,)
   in_specs = _common_specs(block_rays, steps)
   # g slots in after times (kernel arg order: rays, elaz, times, g, ts,
-  # dists, packed?, *ws)
-  C = 5 if want_dp else 4
+  # dists, packed?, *ws). Loss mode: g is the [N, 4] target (the dp
+  # column needs no input — its cotangent is the constant dp_coeff).
+  C = 4 if loss_scale is not None else (5 if want_dp else 4)
   in_specs.insert(3, pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
   if enc_kind == "cp":
@@ -492,6 +522,10 @@ def _dyn_backward_call(ws, rays, elaz, times, ts, dists, g, *, steps,
     out_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM))
     out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+  if loss_scale is not None:
+    out_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
   return pl.pallas_call(
       kernel,
       grid=grid,
@@ -643,3 +677,42 @@ def fused_dyn_cp_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(ws, rays, elaz, times[:, None], ts, dists)
+
+
+def fused_dyn_cp_train_step(params, rays, times, target, ts=None, *,
+                            steps: int = 64, t_near: float = 2.0,
+                            t_far: float = 6.0,
+                            bwd_block_rays: int = BWD_BLOCK_RAYS,
+                            interpret: bool = False,
+                            sigmoid_kind: str = "thin",
+                            sky_kind: str = "black",
+                            spline_points: int = 0,
+                            dp_weight: float = 0.0,
+                            enc_kind: str = "cp"):
+  """ONE-kernel fused train step for D-NeRF/Spline-NeRF (see render.py
+  `fused_plain_cp_train_step`): loss = mean((rgb − target)²)
+  [+ dp_weight·mean(dp²), computed in-kernel like the want_dp column].
+  Returns (loss, grads pytree)."""
+  ws, unflat = jax.vjp(
+      lambda p: tuple(_flatten_params_dyn(p, enc_kind=enc_kind)), params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+  outs = _dyn_backward_call(_cast_ws(ws), rays, elaz, times[:, None], ts,
+                            dists, tgt, steps=steps,
+                            block_rays=bwd_block_rays, interpret=interpret,
+                            sigmoid_kind=sigmoid_kind,
+                            sky_white=sky_kind == "white",
+                            spline_points=spline_points,
+                            want_dp=dp_weight != 0.0, enc_kind=enc_kind,
+                            loss_scale=scale, dp_coeff=dp_weight / N)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  (dparams,) = unflat(dws)
+  return loss_acc[0, 0], dparams  # scaled in-kernel

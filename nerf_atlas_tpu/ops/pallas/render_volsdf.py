@@ -305,11 +305,21 @@ def _vs_kernel(rays_ref, elaz_ref, fb_ref, ts_ref, dists_ref, *refs, steps,
 
 def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
                    *refs, steps, block_rays, sigmoid_kind="thin",
-                   sky_white=False, sphere_init=True, want_eikonal=False):
+                   sky_white=False, sphere_init=True, want_eikonal=False,
+                   loss_scale=None, eik_cot=0.0):
   """refs = (*w_refs, *dw_refs) in `_flatten_params_volsdf` order. With
   want_eikonal, g_ref carries a 5th column (the per-ray eikonal
   cotangent) and the SDF weight grads gain the transpose-chain adjoint
-  contributions (`_mlp_input_grad_adjoint`)."""
+  contributions (`_mlp_input_grad_adjoint`).
+
+  loss_scale: one-kernel train-step mode (render.py `_render_bwd_kernel`
+  doc) — g_ref carries the [B, 4] TARGET, refs trails the loss
+  accumulator, and with want_eikonal the eikonal regularizer folds into
+  the scaled accumulator (eik_cot = coeff/N_rays is both its per-ray
+  cotangent and the loss weight of the per-ray mean residual)."""
+  loss_ref = None
+  if loss_scale is not None:
+    loss_ref, refs = refs[-1], refs[:-1]
   wrefs = refs[:N_WS_VS]
   grefs = refs[N_WS_VS:]
   assert len(grefs) == N_WS_VS
@@ -318,6 +328,8 @@ def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
   def _zero():
     for r in grefs:
       r[...] = jnp.zeros(r.shape, r.dtype)
+    if loss_ref is not None:
+      loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
 
   B, T = block_rays, steps
   P = B * T
@@ -352,8 +364,15 @@ def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
   weights, alpha, trans, one_m_alpha, dists = _composite_fwd(
       sigma, r_d, dists_ref[:, :], B, T, pre_act=True)
 
+  if loss_scale is None:
+    gv = g_ref[:, :]
+  else:
+    from .render import _loss_mode_cotangent
+    gv = _loss_mode_cotangent(loss_scale, rgb, weights, g_ref, loss_ref,
+                              B, T, sky_white)
+
   # ---- backward: compositing → refl → Laplace density → SDF MLP ----
-  drgb, dsigma = _composite_bwd(g_ref[:, :], rgb, sigma, weights, alpha,
+  drgb, dsigma = _composite_bwd(gv[:, 0:4], rgb, sigma, weights, alpha,
                                 trans, one_m_alpha, dists, B, T, sky_white,
                                 pre_act=True)
   drgb_raw = drgb * stash["dact"]
@@ -383,10 +402,19 @@ def _vs_bwd_kernel(rays_ref, elaz_ref, fb_ref, g_ref, ts_ref, dists_ref,
     # eikonal adjoint: per-sample cotangent is the per-ray cotangent / T
     # (the forward emits the per-ray MEAN residual)
     u_stash = {}
-    g, trig = _sdf_grad(pts, fb_ref[...], stash["init_s"], stash["s_hs"],
-                        wbs_s, sphere_init, u_stash=u_stash)
-    _, de_dg = _eikonal_fwd(g)
-    ce = g_ref[:, 4:5] / float(T)                          # [B, 1]
+    g_sdf, trig = _sdf_grad(pts, fb_ref[...], stash["init_s"],
+                            stash["s_hs"], wbs_s, sphere_init,
+                            u_stash=u_stash)
+    e, de_dg = _eikonal_fwd(g_sdf)
+    if loss_scale is None:
+      ce = gv[:, 4:5] / float(T)                           # [B, 1]
+    else:
+      # loss mode: fold eik_cot·Σ_b mean_T(e) into the scaled loss; the
+      # per-ray cotangent is the constant eik_cot
+      e_ray = jnp.mean(e.reshape(B, T), axis=-1, keepdims=True)
+      loss_ref[...] += jnp.broadcast_to(
+          eik_cot * jnp.sum(e_ray, axis=0, keepdims=True), loss_ref.shape)
+      ce = jnp.full((B, 1), eik_cot / float(T), jnp.float32)
     ce_p = jnp.broadcast_to(ce[:, None, :], (B, T, 1)).reshape(P, 1)
     e_grads = _sdf_grad_adjoint(ce_p * de_dg, trig, fb_ref[...],
                                 stash["init_s"], stash["s_hs"], wbs_s,
@@ -470,15 +498,18 @@ def _vs_forward_call(fb, ws, rays, elaz, ts, dists, *, steps, block_rays,
 def _vs_backward_call(fb, ws, rays, elaz, ts, dists, g, *, steps,
                       block_rays, interpret, sigmoid_kind="thin",
                       sky_white=False, sphere_init=True,
-                      want_eikonal=False):
+                      want_eikonal=False, loss_scale=None, eik_cot=0.0):
   N = rays.shape[0]
   assert N % block_rays == 0, (N, block_rays)
-  C = 5 if want_eikonal else 4
+  # loss mode: g is the [N, 4] target regardless of want_eikonal (the
+  # eikonal cotangent is the constant eik_cot, no input column needed)
+  C = 4 if loss_scale is not None else (5 if want_eikonal else 4)
   kernel = functools.partial(_vs_bwd_kernel, steps=steps,
                              block_rays=block_rays,
                              sigmoid_kind=sigmoid_kind, sky_white=sky_white,
                              sphere_init=sphere_init,
-                             want_eikonal=want_eikonal)
+                             want_eikonal=want_eikonal,
+                             loss_scale=loss_scale, eik_cot=eik_cot)
   in_specs = _vs_specs(block_rays, ts, dists, steps)
   in_specs.insert(3, pl.BlockSpec((block_rays, C), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
@@ -489,6 +520,10 @@ def _vs_backward_call(fb, ws, rays, elaz, ts, dists, g, *, steps,
     out_specs.append(pl.BlockSpec(
         w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM))
     out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+  if loss_scale is not None:
+    out_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
   return pl.pallas_call(
       kernel,
       grid=(N // block_rays,),
@@ -621,3 +656,44 @@ def fused_volsdf_render_train_sharded(
       out_specs=P(axis),
       **no_check)
   return smapped(fb, tuple(ws), rays, elaz, ts, dists)
+
+
+def fused_volsdf_train_step(params, rays, target, ts=None, *,
+                            steps: int = 64, t_near: float = 2.0,
+                            t_far: float = 6.0,
+                            bwd_block_rays: int = BWD_BLOCK_RAYS,
+                            interpret: bool = False,
+                            sigmoid_kind: str = "thin",
+                            sky_kind: str = "black",
+                            sphere_init: bool = True,
+                            eikonal_weight: float = 0.0):
+  """ONE-kernel fused train step for VolSDF (see render.py
+  `fused_plain_cp_train_step`): loss = mean((rgb − target)²)
+  [+ eikonal_weight·mean over rays of the per-ray mean eikonal residual,
+  via the in-kernel second-order adjoint]. Returns (loss, grads)."""
+  def _flat(p):
+    fb_, ws_ = _flatten_params_volsdf(p)
+    return fb_, tuple(ws_)
+
+  (fb, ws), unflat = jax.vjp(_flat, params)
+  from ...ops.math import dir_to_elev_azim
+  elaz = dir_to_elev_azim(rays[:, 3:6])
+  if ts is None:
+    ts = _linspace_ts(steps, t_near, t_far)
+  dists = _dists_base(ts)
+  N = rays.shape[0]
+  scale = 1.0 / (N * 3)
+  tgt = jnp.concatenate(
+      [target.astype(jnp.float32), jnp.zeros((N, 1), jnp.float32)], axis=-1)
+  outs = _vs_backward_call(fb, _cast_ws(ws), rays, elaz, ts, dists, tgt,
+                           steps=steps, block_rays=bwd_block_rays,
+                           interpret=interpret, sigmoid_kind=sigmoid_kind,
+                           sky_white=sky_kind == "white",
+                           sphere_init=sphere_init,
+                           want_eikonal=eikonal_weight != 0.0,
+                           loss_scale=scale, eik_cot=eikonal_weight / N)
+  dws, loss_acc = outs[:-1], outs[-1]
+  dws = tuple(d.astype(w.dtype) for d, w in zip(dws, ws))
+  # fb is stop-grad in the oracle (fixed random Fourier features)
+  (dparams,) = unflat((jnp.zeros_like(fb), dws))
+  return loss_acc[0, 0], dparams  # scaled in-kernel

@@ -425,85 +425,188 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
 
 def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                    mesh):
-  """The ONE-kernel fused train step (render.fused_plain_*_train_step):
-  the backward kernel computes the plain-L2 loss and its cotangent from
-  its own forward recompute, eliminating the separate forward kernel a
-  value_and_grad step runs (~25% of the step). Engages only when the
-  training loss IS the kernel's: plain l2 on rgb, no color transforms,
-  no regularizers, no style/tone/gamma, 3-channel labels. Returns
-  fn(params, rays, pix, t, key) -> (loss, grads) or None."""
+  """The ONE-kernel fused train step (ops/pallas/*_train_step): the
+  backward kernel computes the plain-L2 loss and its cotangent from its
+  own forward recompute, eliminating the separate forward kernel a
+  value_and_grad step runs (~25% of the step's matmul passes). Engages
+  only when the training loss IS the kernel's: plain l2 on rgb, no color
+  transforms, no style/tone/gamma, rgb(+ignored alpha) labels, and no
+  regularizers beyond the family's in-kernel ones (VolSDF eikonal,
+  D-NeRF delta_x). Returns fn(params, rays, pix, t, key) ->
+  (loss, grads) or None (fall back to _fused_train_fn / the oracle)."""
   try:
     from ..parallel import model_axis_size
     if model_axis_size(mesh) > 1:
       return None
+    # gamma_correct carries the runner's default identity exponent 1.0
+    # (runner.py maps --gamma-correct-loss straight in) and style_weight
+    # has a nonzero default that is inert without --style-img — test for
+    # ACTIVE transforms, not truthiness, or the step never engages from
+    # the CLI
+    g = cfg.gamma_correct  # bool True means "2.2" (the flag shorthand)
+    gamma_active = bool(cfg.tone_map) or g is True or (
+        not isinstance(g, bool) and g not in (0.0, 1.0))
+    style_active = bool(cfg.style_img) and cfg.style_weight > 0
     if (tuple(cfg.loss_kinds) != ("l2",)
         or tuple(cfg.color_spaces) != ("rgb",)
-        or cfg.tone_map or cfg.gamma_correct or cfg.style_img
-        or cfg.style_weight or cfg.reg_coeffs and any(
-            cfg.reg_coeffs.values())
+        or gamma_active or style_active
         # an alpha/mask 4th label channel is IGNORED for rgb-only preds
         # (losses.load_loss_fn applies the mask term only when BOTH
         # sides carry it) — the step slices pix[..., :3], same math
-        or ds.pixels.shape[-1] not in (3, 4) or ds.times is not None
-        or cfg.volsdf_alternate):
+        or ds.pixels.shape[-1] not in (3, 4)
+        or cfg.volsdf_alternate or cfg.omit_bg):
       return None
-    from ..models import PlainNeRF, TinyNeRF
-    if not isinstance(model, (PlainNeRF, TinyNeRF)):
+    from ..models import (DynamicNeRF, NeRFAE, PlainNeRF, TinyNeRF,
+                          VolSDF)
+    allowed = (("eikonal",) if isinstance(model, VolSDF) else
+               ("delta_x",) if isinstance(model, DynamicNeRF) else ())
+    # STRICTER than _fused_common_ok: the one-kernel step computes the
+    # whole loss in-kernel, so even point-sampled regularizers (which the
+    # two-kernel path evaluates separately) force a fallback
+    if any(v for k, v in (cfg.reg_coeffs or {}).items()
+           if k not in allowed):
       return None
-    if not _fused_common_ok(model, cfg, extra_kwargs) or getattr(
-        ds, "lights", None) is not None:
+    if (not _fused_common_ok(model, cfg, extra_kwargs,
+                             allowed_regs=allowed)
+        or getattr(ds, "lights", None) is not None):
       return None
     from ..ops import rays as rays_ops
-    from ..ops.pallas.render import (DEFAULT_BLOCK_RAYS, TINY_HIDDEN,
-                                     TINY_LAYERS, _flatten_params,
-                                     fused_plain_cp_train_step,
-                                     fused_plain_cp_train_step_sharded,
-                                     fused_plain_hash_train_step)
-    if isinstance(model, TinyNeRF):
-      mkw = dict(model.mlp_kwargs or {})
-      arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
-                 and mkw.pop("hidden_size", TINY_HIDDEN) == TINY_HIDDEN
-                 and not mkw)
-      if not arch_ok or model.mip is not None:
-        return None
-      enc_kind = "tiny"
-    else:
-      if ((model.mip is None
-           and model.enc_kind not in ("cp", "posenc", "hash"))
-          or model.refl_kind != "view"
-          or model.intermediate_size != 32
-          or model.refl_space != "identity"):
-        return None
-      enc_kind = model.mip or model.enc_kind
-      if enc_kind == "hash":
-        if mesh is not None:  # hash one-kernel step has no sharded form
-          return None
-        if any(k != "table_size" for k in (model.enc_kwargs or {})):
-          return None
-        params["params"]["density_mlp"]["enc"]["table"]
-    if mesh is not None and (
-        mesh.size == 1
-        or cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) != 0):
-      return None
-    _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+    from ..ops.pallas.render import DEFAULT_BLOCK_RAYS
 
-    def fn(p, rays, pix, t, key):
-      ts = rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
-                               perturb=1.0, key=key)[None]
-      kw = dict(steps=model.steps, t_near=model.t_near,
-                t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
-                sky_kind=model.sky_kind)
-      if enc_kind == "hash":
-        return fused_plain_hash_train_step(p, rays, pix, ts, **kw)
-      if mesh is not None:
-        return fused_plain_cp_train_step_sharded(p, rays, pix, ts,
-                                                 mesh=mesh,
-                                                 enc_kind=enc_kind, **kw)
-      return fused_plain_cp_train_step(p, rays, pix, ts,
-                                       enc_kind=enc_kind, **kw)
+    def _mesh_ok():
+      return mesh is None or (
+          mesh.size > 1
+          and cfg.batch_size % (mesh.size * DEFAULT_BLOCK_RAYS) == 0)
 
-    return fn
-  except (KeyError, ValueError, TypeError, AssertionError):
+    base_kw = dict(steps=model.steps, t_near=model.t_near,
+                   t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
+                   sky_kind=model.sky_kind)
+
+    def _ts(key):
+      return rays_ops.compute_ts(model.t_near, model.t_far, model.steps,
+                                 perturb=1.0, key=key)[None]
+
+    if isinstance(model, (TinyNeRF, PlainNeRF)):
+      from ..ops.pallas.render import (TINY_HIDDEN, TINY_LAYERS,
+                                       _flatten_params,
+                                       fused_plain_cp_train_step,
+                                       fused_plain_cp_train_step_sharded,
+                                       fused_plain_hash_train_step)
+      if isinstance(model, TinyNeRF):
+        mkw = dict(model.mlp_kwargs or {})
+        arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
+                   and mkw.pop("hidden_size", TINY_HIDDEN) == TINY_HIDDEN
+                   and not mkw)
+        if not arch_ok or model.mip is not None or ds.times is not None:
+          return None
+        enc_kind = "tiny"
+      else:
+        if ((model.mip is None
+             and model.enc_kind not in ("cp", "posenc", "hash"))
+            or model.refl_kind != "view"
+            or model.intermediate_size != 32
+            or model.refl_space != "identity" or ds.times is not None):
+          return None
+        enc_kind = model.mip or model.enc_kind
+        if enc_kind == "hash":
+          if mesh is not None:  # hash one-kernel step: no sharded form
+            return None
+          if any(k != "table_size" for k in (model.enc_kwargs or {})):
+            return None
+          params["params"]["density_mlp"]["enc"]["table"]
+      if not _mesh_ok():
+        return None
+      _flatten_params(params, enc_kind=enc_kind)  # raises on divergence
+
+      def fn(p, rays, pix, t, key):
+        ts = _ts(key)
+        if enc_kind == "hash":
+          return fused_plain_hash_train_step(p, rays, pix, ts, **base_kw)
+        if mesh is not None:
+          return fused_plain_cp_train_step_sharded(
+              p, rays, pix, ts, mesh=mesh, enc_kind=enc_kind, **base_kw)
+        return fused_plain_cp_train_step(p, rays, pix, ts,
+                                         enc_kind=enc_kind, **base_kw)
+
+      return fn
+
+    if isinstance(model, NeRFAE):
+      if (model.refl_kind != "view"
+          or model.intermediate_size != 32 or model.encoding_size != 32
+          or not model.normalize_latent or model.mip is not None
+          or ds.times is not None or not _mesh_ok()):
+        return None
+      from ..ops.pallas.render_ae import (_flatten_params_ae,
+                                          fused_ae_train_step,
+                                          fused_ae_train_step_sharded)
+      _flatten_params_ae(params)
+
+      def fn(p, rays, pix, t, key):
+        ts = _ts(key)
+        if mesh is not None:
+          return fused_ae_train_step_sharded(p, rays, pix, ts, mesh=mesh,
+                                             **base_kw)
+        return fused_ae_train_step(p, rays, pix, ts, **base_kw)
+
+      return fn
+
+    if isinstance(model, VolSDF):
+      # volsdf_scale reads the learned scale param — not expressible in
+      # the weights-only kernel step, so it stays on the two-kernel path
+      if cfg.reg_coeffs.get("volsdf_scale"):
+        return None
+      sdf_kw = dict(model.sdf_kwargs or {})
+      sphere_init = bool(sdf_kw.pop("sphere_init", True))
+      eik = float(cfg.reg_coeffs.get("eikonal") or 0.0)
+      if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.occ_kind is not None
+          or model.integrator_kind is not None
+          or model.light_kind is not None
+          or (model.with_normals and eik == 0.0)
+          or model.sdf_latent != 32 or model.mip is not None
+          or sdf_kw or model.refl_kwargs
+          or ds.times is not None or mesh is not None):
+        return None
+      from ..ops.pallas.render_volsdf import (_flatten_params_volsdf,
+                                              fused_volsdf_train_step)
+      _flatten_params_volsdf(params)
+
+      def fn(p, rays, pix, t, key):
+        return fused_volsdf_train_step(p, rays, pix, _ts(key),
+                                       sphere_init=sphere_init,
+                                       eikonal_weight=eik, **base_kw)
+
+      return fn
+
+    if isinstance(model, DynamicNeRF):
+      ck = dict(model.canonical_kwargs or {})
+      allowed_ck = {"enc_kind", "refl_kind", "steps", "t_near", "t_far",
+                    "sky_kind", "sigmoid_kind"}
+      if (model.mip is not None
+          or model.canonical_kind != "plain"
+          or model.spline_points == 1
+          or not model.with_rigidity or model.time_latent_size != 0
+          or ck.get("enc_kind", "cp") not in ("cp", "posenc")
+          or ck.get("refl_kind", "view") != "view"
+          or any(k not in allowed_ck for k in ck)
+          or ds.times is None or mesh is not None):
+        return None
+      from ..ops.pallas.render_dyn import (_flatten_params_dyn,
+                                           fused_dyn_cp_train_step)
+      dyn_enc = ck.get("enc_kind", "cp")
+      _flatten_params_dyn(params, enc_kind=dyn_enc)
+      dp = float(cfg.reg_coeffs.get("delta_x") or 0.0)
+
+      def fn(p, rays, pix, t, key):
+        return fused_dyn_cp_train_step(
+            p, rays, t, pix, _ts(key),
+            spline_points=model.spline_points, dp_weight=dp,
+            enc_kind=dyn_enc, **base_kw)
+
+      return fn
+
+    return None
+  except Exception:  # noqa: BLE001 — any mismatch falls back
     return None
 
 

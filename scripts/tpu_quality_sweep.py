@@ -83,7 +83,11 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--epochs", type=int, default=1500)
   ap.add_argument("--size", type=int, default=48)
-  ap.add_argument("--views", type=int, default=6)
+  # 6 views memorizes (train 33 dB / test ~13 dB — classic few-view
+  # NeRF overfit, QUALITY_r04 first capture); 30 views makes the
+  # held-out split meaningful at the same wall cost (step count, not
+  # view count, sets train time)
+  ap.add_argument("--views", type=int, default=30)
   ap.add_argument("--batch-size", type=int, default=4096)
   ap.add_argument("--only", default=None, help="substring filter")
   ap.add_argument("--skip-done", action="store_true",

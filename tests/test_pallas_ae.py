@@ -110,3 +110,31 @@ def test_fused_ae_sharded_grad_matches_single():
     denom = max(np.linalg.norm(b), 1e-12)
     assert np.linalg.norm(a - b) / denom < 1e-2, (
         jax.tree_util.keystr(path), np.linalg.norm(a - b) / denom)
+
+
+def test_fused_ae_train_step_matches_vjp_path():
+  """One-kernel NeRFAE train step vs value_and_grad over the two-kernel
+  custom-VJP path (identical kernel math — tight match)."""
+  from nerf_atlas_tpu.ops.pallas.render_ae import fused_ae_train_step
+  model, params, rays = _setup(32, 16, seed=3)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+
+  def loss_vjp(p):
+    out = fused_ae_render_train(p, rays, steps=16, t_near=2.0, t_far=6.0,
+                                block_rays=16, bwd_block_rays=16,
+                                interpret=True)
+    return jnp.mean((out[:, :3] - target) ** 2)
+
+  lo, go = jax.value_and_grad(loss_vjp)(params)
+  lf, gf = fused_ae_train_step(params, rays, target, steps=16, t_near=2.0,
+                               t_far=6.0, bwd_block_rays=16,
+                               interpret=True)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  assert len(flat_f) == len(flat_o) and flat_f
+  for path, g_fused in flat_f:
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(flat_o[path]),
+                               rtol=1e-4, atol=5e-6,
+                               err_msg=jax.tree_util.keystr(path))

@@ -255,3 +255,40 @@ def test_fused_dyn_dp_column_matches_oracle(spline):
         np.linalg.norm(gf_n) * np.linalg.norm(go_n), 1e-20)
     assert cos > 0.97, (jax.tree_util.keystr(path), cos)
   assert np.sqrt(num / den) < 0.05, np.sqrt(num / den)
+
+
+@pytest.mark.parametrize("spline,dp_weight", [(0, 0.0), (5, 1e-2)])
+def test_fused_dyn_train_step_matches_vjp_path(spline, dp_weight):
+  """One-kernel D-NeRF train step (in-kernel L2 + optional in-kernel
+  dp_weight·mean(dp²)) vs value_and_grad over the two-kernel path."""
+  from nerf_atlas_tpu.ops.pallas.render_dyn import fused_dyn_cp_train_step
+  model, params, rays, times = _setup(32, 16, seed=3,
+                                      spline_points=spline)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+  want_dp = dp_weight != 0.0
+
+  def loss_vjp(p):
+    out = fused_dyn_cp_render_train(p, rays, times, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True,
+                                    spline_points=spline, want_dp=want_dp)
+    main = jnp.mean((out[:, :3] - target) ** 2)
+    if want_dp:
+      main = main + dp_weight * jnp.mean(out[:, 4])
+    return main
+
+  lo, go = jax.value_and_grad(loss_vjp)(params)
+  lf, gf = fused_dyn_cp_train_step(params, rays, times, target, steps=16,
+                                   t_near=2.0, t_far=6.0,
+                                   bwd_block_rays=16, interpret=True,
+                                   spline_points=spline,
+                                   dp_weight=dp_weight)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  assert len(flat_f) == len(flat_o) and flat_f
+  for path, g_fused in flat_f:
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(flat_o[path]),
+                               rtol=1e-4, atol=5e-6,
+                               err_msg=jax.tree_util.keystr(path))

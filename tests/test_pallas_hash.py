@@ -92,3 +92,30 @@ def test_table_size_gate():
   tab = jnp.zeros((8 * (1 << 17), 2), jnp.float32)
   with pytest.raises(AssertionError):
     hash_encode(tab, jnp.zeros((256, 3)), levels=8, interpret=True)
+
+
+def test_piecewise_map_path_matches_unchunked(monkeypatch):
+  """P above _MAX_PIECE_PTS streams through lax.map pieces (the OOM fix
+  for big eval-render chunks): values AND the table gradient must match
+  the unchunked path."""
+  from nerf_atlas_tpu.ops.pallas import hash_encode as he
+  tab = _table(jax.random.PRNGKey(0))
+  pts = _pts(jax.random.PRNGKey(7), n=1000)  # non-multiple of the piece
+
+  def run(p):
+    return hash_encode(tab, p, levels=LEVELS, block_pts=256,
+                       interpret=True)
+
+  want = run(pts)
+  dwant = jax.grad(lambda t: jnp.sum(
+      hash_encode(t, pts, levels=LEVELS, block_pts=256,
+                  interpret=True) ** 2))(tab)
+  monkeypatch.setattr(he, "_MAX_PIECE_PTS", 256)
+  got = run(pts)
+  dgot = jax.grad(lambda t: jnp.sum(
+      hash_encode(t, pts, levels=LEVELS, block_pts=256,
+                  interpret=True) ** 2))(tab)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(dgot), np.asarray(dwant),
+                             rtol=1e-5, atol=1e-6)

@@ -226,3 +226,39 @@ def test_fused_volsdf_sharded_grad_matches_single():
     denom = max(np.linalg.norm(b), 1e-12)
     assert np.linalg.norm(a - b) / denom < 1e-2, (
         jax.tree_util.keystr(path), np.linalg.norm(a - b) / denom)
+
+
+@pytest.mark.parametrize("eik", [0.0, 1e-2])
+def test_fused_volsdf_train_step_matches_vjp_path(eik):
+  """One-kernel VolSDF train step (in-kernel L2 + optional in-kernel
+  eikonal term) vs value_and_grad over the two-kernel custom-VJP path."""
+  from nerf_atlas_tpu.ops.pallas.render_volsdf import (
+      fused_volsdf_render_train, fused_volsdf_train_step)
+  model, params, rays = _setup(32, 16, seed=3)
+  target = jax.random.uniform(jax.random.PRNGKey(5), (32, 3))
+  want_eik = eik != 0.0
+
+  def loss_vjp(p):
+    out = fused_volsdf_render_train(p, rays, steps=16, t_near=2.0,
+                                    t_far=6.0, block_rays=16,
+                                    bwd_block_rays=16, interpret=True,
+                                    want_eikonal=want_eik)
+    main = jnp.mean((out[:, :3] - target) ** 2)
+    if want_eik:
+      main = main + eik * jnp.mean(out[:, 4])
+    return main
+
+  lo, go = jax.value_and_grad(loss_vjp)(params)
+  lf, gf = fused_volsdf_train_step(params, rays, target, steps=16,
+                                   t_near=2.0, t_far=6.0,
+                                   bwd_block_rays=16, interpret=True,
+                                   eikonal_weight=eik)
+  np.testing.assert_allclose(float(lf), float(lo), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_o = dict(jax.tree_util.tree_leaves_with_path(go))
+  assert len(flat_f) == len(flat_o) and flat_f
+  for path, g_fused in flat_f:
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(flat_o[path]),
+                               rtol=1e-4, atol=5e-6,
+                               err_msg=jax.tree_util.keystr(path))

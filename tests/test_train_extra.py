@@ -222,9 +222,18 @@ def test_fused_step_gate(monkeypatch):
   assert driver._fused_step_fn(model, ok_cfg, ds, None, params,
                                None) is not None
 
+  # the CLI defaults: runner.py maps --gamma-correct-loss 1.0 (identity)
+  # into gamma_correct and carries an inert style_weight without a
+  # style_img — both are no-ops on the loss, the step must still engage
+  cli_cfg = driver.TrainConfig(steps=1, batch_size=128,
+                               gamma_correct=1.0, style_weight=0.01)
+  assert driver._fused_step_fn(model, cli_cfg, ds, None, params,
+                               None) is not None
+
   for bad in (dict(loss_kinds=("l1",)),
               dict(color_spaces=("hsv",)),
               dict(gamma_correct=True),
+              dict(gamma_correct=2.2),
               dict(tone_map=True),
               dict(reg_coeffs={"smooth_normals": 0.1}),
               dict(batch_size=100)):
@@ -243,3 +252,53 @@ def test_fused_step_gate(monkeypatch):
       train=True)
   assert driver._fused_step_fn(tiny, ok_cfg, ds, None, tparams,
                                None) is not None
+
+
+def test_fused_step_gate_families(monkeypatch):
+  """_fused_step_fn engages for NeRFAE / VolSDF(+eikonal) / DynamicNeRF
+  (+delta_x) — the in-kernel regularizers are allowed, anything else
+  falls back."""
+  rays0 = jnp.concatenate([jnp.zeros((4, 3)),
+                           jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1)
+  rngs = {"params": jax.random.PRNGKey(0),
+          "sampler": jax.random.PRNGKey(1)}
+  synth = __import__("nerf_atlas_tpu.data.synthetic",
+                     fromlist=["dataset"])
+  imgs, cam, _ = synth.dataset(num_views=4, size=16)
+  ds = sampler.RayDataset.from_bundle(
+      loaders.DatasetBundle(imgs, cam, None), size=16)
+  (dimgs, dtimes), dcam, _ = synth.dataset(num_views=4, size=16,
+                                           dynamic=True)
+  ds_dyn = sampler.RayDataset.from_bundle(
+      loaders.DatasetBundle((dimgs, dtimes), dcam, None), size=16)
+  monkeypatch.setattr(driver.jax, "default_backend", lambda: "tpu")
+
+  ae = models.NeRFAE(steps=8, normalize_latent=True)
+  ae_p = ae.init(rngs, rays0, train=True)
+  cfg = driver.TrainConfig(steps=1, batch_size=128)
+  assert driver._fused_step_fn(ae, cfg, ds, None, ae_p, None) is not None
+
+  vs = models.VolSDF(sdf_kind="mlp", refl_kind="view", steps=8)
+  vs_p = vs.init(rngs, rays0, train=True)
+  cfg_eik = driver.TrainConfig(steps=1, batch_size=128,
+                               reg_coeffs={"eikonal": 0.01})
+  assert driver._fused_step_fn(vs, cfg_eik, ds, None, vs_p,
+                               None) is not None
+  # volsdf_scale reads the learned param outside the kernel step
+  cfg_vs = driver.TrainConfig(steps=1, batch_size=128,
+                              reg_coeffs={"eikonal": 0.01,
+                                          "volsdf_scale": 1e-5})
+  assert driver._fused_step_fn(vs, cfg_vs, ds, None, vs_p, None) is None
+
+  dyn = models.DynamicNeRF(canonical_kind="plain",
+                           canonical_kwargs={"enc_kind": "cp"},
+                           spline_points=4, with_rigidity=True, steps=8)
+  dyn_p = dyn.init(rngs, rays0, times=jnp.zeros((4,)), train=True)
+  cfg_dp = driver.TrainConfig(steps=1, batch_size=128,
+                              reg_coeffs={"delta_x": 1e-3})
+  assert driver._fused_step_fn(dyn, cfg_dp, ds_dyn, None, dyn_p,
+                               None) is not None
+  # a NON-in-kernel regularizer falls back for every family
+  cfg_reg = driver.TrainConfig(steps=1, batch_size=128,
+                               reg_coeffs={"smooth_normals": 0.1})
+  assert driver._fused_step_fn(ae, cfg_reg, ds, None, ae_p, None) is None
