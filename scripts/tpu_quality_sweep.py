@@ -152,6 +152,7 @@ def main():
                psnr_test_mean=round(psnr_test, 3),
                black_baseline=round(black, 3), fused_engaged=fused,
                beats_black_by_2db=ok, epochs=args.epochs, size=args.size,
+               views=args.views,
                batch_size=args.batch_size, wall_s=round(wall, 1),
                backend=backend)
     rows = [r for r in rows if r["config"] != name] + [row]
