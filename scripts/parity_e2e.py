@@ -249,6 +249,18 @@ def main():
   out.setdefault("variants", {})
 
   def save():
+    # merge-read before writing: two invocations (e.g. the torch-CPU
+    # reference side and the TPU ours side) may interleave; last-writer
+    # must not drop rows the other landed since our initial read
+    try:
+      with open(out_path) as f:
+        disk = json.load(f)
+      for v, row in disk.get("variants", {}).items():
+        merged = dict(row)
+        merged.update(out["variants"].get(v, {}))
+        out["variants"][v] = merged
+    except Exception:  # noqa: BLE001
+      pass
     with open(out_path, "w") as f:
       json.dump(out, f, indent=2)
 
