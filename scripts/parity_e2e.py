@@ -270,6 +270,11 @@ def main():
     if not os.path.exists(os.path.join(scene, "transforms_train.json")):
       export_scene(scene, args.size, dynamic=dyn)
     row = out["variants"].setdefault(variant, {})
+    # per-variant budget: variants may run at different (but per-variant
+    # MATCHED ours-vs-ref) budgets; the top-level config records the
+    # plain variant's original protocol
+    row["epochs"], row["size"], row["steps"] = (args.epochs, args.size,
+                                                args.steps)
 
     if not args.skip_ours:
       row["ours_test_psnr"] = round(
