@@ -238,6 +238,11 @@ def arguments(argv=None):
   a.add_argument("--data-parallel", action="store_true",
                  help="no-op unless --mesh-devices 1 was set: ray batches "
                       "data-parallel over the device mesh by default")
+  a.add_argument("--no-fused", action="store_true",
+                 help="force the XLA-oracle train path even where a fused "
+                      "Pallas kernel would auto-engage (A/B switch for "
+                      "kernel-vs-recipe attribution); the engaged path is "
+                      "recorded in log.json either way")
 
   # regularizers (reference flag names kept as aliases of the -weight
   # spellings introduced in round 1)
@@ -779,7 +784,8 @@ def make_train_config(args):
       smooth_eps=args.smooth_eps,
       smooth_eps_rng=args.smooth_eps_rng,
       smooth_ords=tuple(args.smooth_n_ord),
-      volsdf_alternate=args.volsdf_alternate)
+      volsdf_alternate=args.volsdf_alternate,
+      no_fused=args.no_fused)
 
 
 def main(argv=None):
@@ -907,6 +913,11 @@ def main(argv=None):
     if history:
       driver.plot_history(history, os.path.join(args.outdir, "loss.png"),
                           window=args.loss_window, yscale=args.y_scale)
+    # record which train path actually ran (fused-one-kernel | fused |
+    # oracle) so every artifact citing this run carries its attribution
+    config_dict["engaged_path"] = driver.LAST_TRAIN_PATH
+    with open(os.path.join(args.outdir, args.log), "w") as f:
+      json.dump(config_dict, f, indent=2, default=str)
     if cfg.train_camera:
       # rebind the dataset to the trained camera for eval rendering
       ds = ds.replace(camera=params["camera"])
@@ -935,6 +946,8 @@ def main(argv=None):
       depth_query_normal=args.depth_query_normal)
 
   results = {}
+  if args.epochs > 0:
+    results["engaged_path"] = driver.LAST_TRAIN_PATH
   if not args.notraintest:
     results["train"] = driver.test(
         model, params, ds, out_dir=os.path.join(args.outdir, "train"),

