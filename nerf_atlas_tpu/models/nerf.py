@@ -176,12 +176,23 @@ class NeRFAE(NeRFBase):
         latent_size=self.encoding_size + self.intermediate_size,
         act=self.sigmoid_kind, **(self.refl_kwargs or {}))
 
-  def encode(self, pts, latent=None):
-    enc = self.encoder(pts, latent)
+  def encode(self, pts, latent=None, with_raw: bool = False):
+    """Latent field at pts; with_raw also returns the PRE-normalization
+    encoding (the reference computes its latent_l2 regularizer on that,
+    ref src/nerf.py:808-812 — and under normalize_latent the raw norm is
+    the quantity whose unbounded growth freezes the latent direction,
+    the round-4 `ae` quality collapse; see BENCH_NOTES round-5 entry)."""
+    raw = self.encoder(pts, latent)
+    enc = raw
     if self.normalize_latent:
-      enc = enc / jnp.maximum(
-          jnp.linalg.norm(enc, axis=-1, keepdims=True), 1e-6)
-    return enc
+      enc = raw / jnp.maximum(
+          jnp.linalg.norm(raw, axis=-1, keepdims=True), 1e-6)
+    return (enc, raw) if with_raw else enc
+
+  def encode_raw(self, pts):
+    """PRE-normalization encoding (flax method target for the fused
+    paths' point-sampled latent_l2 regularizer)."""
+    return self.encoder(pts, None)
 
   def query_from_encoding(self, pts, enc, view=None, train: bool = False):
     out = self.density_tfm(enc)
@@ -198,10 +209,14 @@ class NeRFAE(NeRFBase):
     pts, ts, r_o, r_d = self.sample_points(rays, train)
     lat = broadcast_latent(latents, pts.shape, self.latent_size)
     view = view_per_sample(r_d, self.steps)
-    enc = self.encode(pts, lat)
+    enc, enc_raw = self.encode(pts, lat, with_raw=True)
     density, rgb = self.query_from_encoding(pts, enc, view=view, train=train)
     out = self.finish(density, rgb, ts, r_d, train)
-    out["latent_l2"] = jnp.mean(jnp.square(enc))
+    # the reference's latent_l2 = mean over points of ||raw enc||²
+    # (PRE-normalization, ref src/nerf.py:810-812). Round 4 computed it
+    # on the normalized latent — a constant ≡ 1 under normalize_latent,
+    # i.e. a silent no-op exactly where the penalty matters most.
+    out["latent_l2"] = jnp.mean(jnp.sum(jnp.square(enc_raw), -1))
     return out
 
 

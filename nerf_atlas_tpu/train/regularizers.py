@@ -285,6 +285,21 @@ def spline_length(model_apply, params, key, n: int = 256, t_samples: int = 8):
   return jnp.mean(jnp.sum(seg, axis=0))
 
 
+def ae_latent_l2(model_apply, params, key, n: int = 1024):
+  """Point-sampled form of latent_l2 for the FUSED NeRFAE paths: mean
+  pre-normalization encoder norm² over uniform random points. The
+  oracle path reads the exact per-ray-sample value from the out dict
+  (reference runner.py:681, src/nerf.py:810-812); the fused kernels
+  don't emit the raw encoding, so the fused branches evaluate this
+  estimator instead — same quantity, Monte-Carlo over space. Under
+  normalize_latent this penalty is what prevents the encoder-norm
+  runaway that froze the latent direction (the round-4 `ae` collapse;
+  BENCH_NOTES round-5 entry)."""
+  pts = jax.random.uniform(key, (n, 3), minval=-1.3, maxval=1.3)
+  raw = model_apply(params, pts, method="encode_raw")
+  return jnp.mean(jnp.sum(jnp.square(raw), -1))
+
+
 def spline_pt0(model_apply, params, key, n: int = 256):
   """Pin the t=0 deformation to zero (canonical frame at t=0)."""
   pts = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
