@@ -388,6 +388,35 @@ CONFIG_ORDER = ("hash", "tiny", "posenc", "mip", "volsdf", "ae", "dnerf",
 ORACLE_KINDS = ("tiny", "ae", "volsdf", "dnerf", "hash", "hash_ref19")
 
 
+def bench_config_render_fused_hash(n_rays=262_144, reps=2):
+  """Eval-render rays/s for the TPU-fast hash envelope through the FUSED
+  path (fused_plain_hash_render: one-hot MXU encode + fused downstream
+  kernel) — the path the driver's eval gate engages for T <= 2^16.
+  Host-loops one compiled <=2^19-point chunk (the driver's eval chunking
+  — bigger single jits unroll kernel pairs for minutes of remote
+  compile, and lax.map scoped-vmem-OOMs; see render.py)."""
+  from nerf_atlas_tpu.ops.pallas.hash_encode import _MAX_SINGLE_PTS
+  from nerf_atlas_tpu.ops.pallas.render import fused_plain_hash_render
+  model, _ = _config_model("hash")
+  chunk = _MAX_SINGLE_PTS // STEPS
+  rays = _frame_rays()[:n_rays]
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays[:256],
+                      train=True)
+
+  render = jax.jit(lambda p, r: jnp.sum(
+      fused_plain_hash_render(p, r, steps=STEPS)))
+  chunks = [rays[i:i + chunk] for i in range(0, n_rays, chunk)]
+  float(render(params, chunks[0]))
+  t0 = time.perf_counter()
+  for _ in range(reps):
+    acc = 0.0
+    for rc in chunks:
+      acc += float(render(params, rc))
+  dt = (time.perf_counter() - t0) / reps
+  return n_rays / dt
+
+
 def _config_entry(kind, baseline_table):
   """Measure one canonical config; returns its bench row."""
   entry = {}
@@ -402,6 +431,14 @@ def _config_entry(kind, baseline_table):
         bench_config_train(kind, fused=True), 1)
   except Exception as e:  # noqa: BLE001
     entry["fused_error"] = f"{type(e).__name__}: {e}"
+  if kind == "hash":
+    # the driver's EVAL gate also serves this envelope fused
+    # (train/driver.py:1108-1110); record that path's number too
+    try:
+      entry["render_rays_per_sec_fused"] = round(
+          bench_config_render_fused_hash(), 1)
+    except Exception as e:  # noqa: BLE001
+      entry["render_fused_error"] = f"{type(e).__name__}: {e}"
   if kind in ("mip", "coarse_fine"):
     # BASELINE config #2 rows: the reference's hierarchical sampler is
     # broken upstream (exit() at src/nerf.py:1772), so their baseline

@@ -82,8 +82,20 @@ MAX_ONEHOT_TABLE = 1 << 16
 # compile helper, 1024 compiles)
 DEFAULT_BLOCK_PTS = 1024
 DEFAULT_BWD_BLOCK_PTS = 1024
-# lax.map piece bound for the packed-array working set (see hash_encode)
-_MAX_PIECE_PTS = 1 << 19
+# Streaming bounds for the packed-array working set (see hash_encode):
+# point batches up to _MAX_SINGLE_PTS run as ONE direct kernel call
+# (the train step's 8192x64 = 2^19 points — measured fine, no map); a
+# bigger batch streams through lax.map in pieces of _MAP_PIECE_PTS.
+# The piece size is 2^17, NOT 2^19: inside a lax.map body XLA
+# materializes the packed index/weight arrays as a SCOPED (stack)
+# allocation for the pallas call, and the v5e scoped-vmem limit is
+# 16 MB — a 2^19-point piece needs a measured 25 MB there and kills
+# every eval render that streams pieces ("Ran out of memory in memory
+# space vmem ... closed_call", the crash that emptied QUALITY_r04's
+# plain_hash row). Direct (non-mapped) calls don't use scoped stack
+# for these operands and are unaffected.
+_MAX_SINGLE_PTS = 1 << 19
+_MAP_PIECE_PTS = 1 << 17
 
 
 def _resolutions(levels: int, base_res: int, max_res: int) -> list[int]:
@@ -365,8 +377,8 @@ def hash_encode(table, pts, *, levels: int = 8,
   # set by streaming pieces of ≤2^19 points through lax.map — the train
   # step stays single-piece, eval renders serialize pieces (the table
   # cotangent sums across pieces via map's transpose).
-  piece = _MAX_PIECE_PTS
-  if P > piece:
+  piece = _MAP_PIECE_PTS
+  if P > _MAX_SINGLE_PTS:
     pad = (-P) % piece
     if pad:
       pts = jnp.concatenate(

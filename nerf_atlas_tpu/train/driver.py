@@ -176,8 +176,12 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     # the VolSDF kernel computes the eikonal residual in-kernel (its
     # dual analytic-grad path); volsdf_scale reads only the learned
     # scale PARAM, recomputed from the pytree in the fused loss below
+    from ..models import NeRFAE as _NeRFAE
+    # latent_l2 for NeRFAE is point-sampled OUTSIDE the kernel
+    # (regularizers.ae_latent_l2 — the pre-norm encoder norm penalty)
     allowed = ("eikonal", "volsdf_scale") if isinstance(model, VolSDF) else (
-        ("delta_x",) if isinstance(model, DynamicNeRF) else ())
+        ("delta_x",) if isinstance(model, DynamicNeRF) else
+        ("latent_l2",) if isinstance(model, _NeRFAE) else ())
     if (not _fused_common_ok(model, cfg, extra_kwargs, allowed_regs=allowed)
         or getattr(ds, "lights", None) is not None):
       return None
@@ -319,9 +323,11 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     if isinstance(model, NeRFAE):
       # auto-encoded flagship (reference src/nerf.py:766-840): posenc →
       # encoder MLP → L2-normalized latent → density transform → view
-      # refl, all fused (ops/pallas/render_ae.py). latent_l2 is constant
-      # under normalize_latent (‖enc‖ ≡ 1) and the common gate rejects
-      # active regularizers, so no extra output is needed.
+      # refl, all fused (ops/pallas/render_ae.py). latent_l2 (the
+      # PRE-normalization encoder-norm penalty, the norm-runaway
+      # antidote — BENCH_NOTES round-5 entry) is in `allowed`: the
+      # kernels don't emit the raw encoding, so the step adds it as the
+      # point-sampled estimator regularizers.ae_latent_l2 instead.
       # (no refl_space check: NeRFAE's refl is always identity-space)
       if (model.refl_kind != "view"
           or model.intermediate_size != 32 or model.encoding_size != 32
@@ -361,6 +367,7 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       sphere_init = bool(sdf_kw.pop("sphere_init", True))
       want_eik = bool(cfg.reg_coeffs.get("eikonal"))
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.scale_kind != "softplus"
           or model.occ_kind is not None
           or model.integrator_kind is not None
           or model.light_kind is not None
@@ -473,10 +480,13 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
     from ..models import (DynamicNeRF, NeRFAE, PlainNeRF, TinyNeRF,
                           VolSDF)
     allowed = (("eikonal",) if isinstance(model, VolSDF) else
-               ("delta_x",) if isinstance(model, DynamicNeRF) else ())
+               ("delta_x",) if isinstance(model, DynamicNeRF) else
+               ("latent_l2",) if isinstance(model, NeRFAE) else ())
     # STRICTER than _fused_common_ok: the one-kernel step computes the
     # whole loss in-kernel, so even point-sampled regularizers (which the
-    # two-kernel path evaluates separately) force a fallback
+    # two-kernel path evaluates separately) force a fallback — except
+    # NeRFAE's latent_l2, which the step branch adds with its own
+    # value_and_grad (regularizers.ae_latent_l2)
     if any(v for k, v in (cfg.reg_coeffs or {}).items()
            if k not in allowed):
       return None
@@ -505,7 +515,8 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                        _flatten_params,
                                        fused_plain_cp_train_step,
                                        fused_plain_cp_train_step_sharded,
-                                       fused_plain_hash_train_step)
+                                       fused_plain_hash_train_step,
+                                       fused_plain_hash_train_step_sharded)
       if isinstance(model, TinyNeRF):
         mkw = dict(model.mlp_kwargs or {})
         arch_ok = (mkw.pop("num_layers", TINY_LAYERS) == TINY_LAYERS
@@ -523,8 +534,6 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
           return None
         enc_kind = model.mip or model.enc_kind
         if enc_kind == "hash":
-          if mesh is not None:  # hash one-kernel step: no sharded form
-            return None
           if any(k != "table_size" for k in (model.enc_kwargs or {})):
             return None
           params["params"]["density_mlp"]["enc"]["table"]
@@ -535,6 +544,9 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       def fn(p, rays, pix, t, key):
         ts = _ts(key)
         if enc_kind == "hash":
+          if mesh is not None:
+            return fused_plain_hash_train_step_sharded(p, rays, pix, ts,
+                                                       mesh=mesh, **base_kw)
           return fused_plain_hash_train_step(p, rays, pix, ts, **base_kw)
         if mesh is not None:
           return fused_plain_cp_train_step_sharded(
@@ -573,6 +585,7 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
       sphere_init = bool(sdf_kw.pop("sphere_init", True))
       eik = float(cfg.reg_coeffs.get("eikonal") or 0.0)
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.scale_kind != "softplus"
           or model.occ_kind is not None
           or model.integrator_kind is not None
           or model.light_kind is not None
@@ -646,6 +659,19 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
 
   style_fn = _make_style_fn(cfg)
 
+  # NeRFAE latent_l2 on a fused path: the kernels don't emit the raw
+  # encoding, so the penalty is point-sampled outside the kernel
+  # (regularizers.ae_latent_l2) and its gradient added to the kernel's
+  ae_ll2_fn = None
+  if fused_train is not None or fused_step is not None:
+    from ..models import NeRFAE as _AE
+    if isinstance(model, _AE) and cfg.reg_coeffs.get("latent_l2"):
+      from .regularizers import ae_latent_l2
+      c_ll2 = float(cfg.reg_coeffs["latent_l2"])
+
+      def ae_ll2_fn(p, k):  # noqa: E306
+        return c_ll2 * ae_latent_l2(model.apply, p, k)
+
   def step(params, opt_state, key, phase, step_i):
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
@@ -684,6 +710,8 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
           main = loss_fn(out[:, :3], pix)
         reg = point_regularizers(model, model_params, k3, cfg.reg_coeffs,
                                  smooth_opts)
+        if ae_ll2_fn is not None:
+          reg = reg + ae_ll2_fn(model_params, k4)
         if not isinstance(out, tuple) and out.shape[-1] == 5:
           # in-kernel regularizer column: per-ray mean residual — the
           # eikonal for fused VolSDF, mean dp² (--dp-weight) for the
@@ -762,6 +790,10 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
         pix = jax.lax.with_sharding_constraint(pix, batch_sharding)
       loss, grads = fused_step(params, rays, pix[..., :3], t, k2)
       main = loss
+      if ae_ll2_fn is not None:
+        rl, rg = jax.value_and_grad(ae_ll2_fn)(params, k3)
+        loss = loss + rl
+        grads = jax.tree.map(jnp.add, grads, rg)
     else:
       (loss, main), grads = jax.value_and_grad(compute_loss,
                                                has_aux=True)(params)
@@ -1053,6 +1085,7 @@ def _fused_render_fn(model, params):
       sdf_kw = dict(model.sdf_kwargs or {})
       sphere_init = bool(sdf_kw.pop("sphere_init", True))
       if (model.sdf_kind != "mlp" or model.refl_kind != "view"
+          or model.scale_kind != "softplus"
           or model.occ_kind is not None
           or model.integrator_kind is not None
           or model.light_kind is not None or model.sdf_latent != 32
@@ -1133,6 +1166,27 @@ def _fused_render_fn(model, params):
         out = fused_plain_cp_render(p, rc, enc_kind=enc_kind, **kw)
       return out[:n, :3]
 
+    if enc_kind == "hash":
+      # one direct kernel call per jit: keep each eval chunk at
+      # <= 2^19 points (the proven train-step shape). Larger chunks
+      # would unroll fused_plain_hash_render's python chunking inside
+      # ONE jit (minutes of remote compile), and a lax.map body
+      # scoped-vmem-OOMs on the packed hash operands (render.py note —
+      # the round-4 empty plain_hash quality row).
+      from ..ops.pallas.hash_encode import _MAX_SINGLE_PTS
+      from ..ops.pallas.render import RENDER_BLOCK_RAYS as _RBR
+      fn.max_chunk_rays = max(
+          _RBR, _MAX_SINGLE_PTS // model.steps // _RBR * _RBR)
+    elif is_cf:
+      # hierarchical eval runs coarse+fine (steps + fine_steps samples
+      # per ray): a 65536-ray chunk's per-sample temporaries exceed the
+      # 16G HBM at compile time (measured 20.25G — the crash that
+      # emptied QUALITY_r04's coarse_fine row). Same 2^19-point cap.
+      from ..ops.pallas.hash_encode import _MAX_SINGLE_PTS
+      from ..ops.pallas.render import RENDER_BLOCK_RAYS as _RBR
+      total = model.steps + model.fine_steps
+      fn.max_chunk_rays = max(_RBR,
+                              _MAX_SINGLE_PTS // total // _RBR * _RBR)
     return fn
   except Exception:  # noqa: BLE001 — any mismatch falls back to the oracle
     return None
@@ -1233,13 +1287,17 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
     # relightable eval: per-sample occlusion marches multiply the
     # working set by march-steps × lights — large chunks OOM HBM
     chunk = min(chunk, 4096)
-  extra.update(_light_kwargs(
-      model, ds, jnp.full((chunk,), view, jnp.int32)))
 
   fused = _fused_render_fn(model, params) if mode == "rgb" else None
   if (fused is not None and getattr(fused, "needs_times", False)
       and time_val is None and ds.times is None):
     fused = None  # dyn kernel needs per-ray times
+  if fused is not None:
+    # hash envelope: one direct kernel call per jit'd chunk (see
+    # _fused_render_fn's max_chunk_rays note)
+    chunk = min(chunk, getattr(fused, "max_chunk_rays", chunk))
+  extra.update(_light_kwargs(
+      model, ds, jnp.full((chunk,), view, jnp.int32)))
 
   @jax.jit
   def render_chunk(rs_chunk, t_chunk):

@@ -95,9 +95,10 @@ def test_table_size_gate():
 
 
 def test_piecewise_map_path_matches_unchunked(monkeypatch):
-  """P above _MAX_PIECE_PTS streams through lax.map pieces (the OOM fix
-  for big eval-render chunks): values AND the table gradient must match
-  the unchunked path."""
+  """P above _MAX_SINGLE_PTS streams through lax.map pieces (the
+  oversize-direct-call API path; the fused eval renders stay below the
+  bound by construction — render.py chunking note): values AND the
+  table gradient must match the unchunked path."""
   from nerf_atlas_tpu.ops.pallas import hash_encode as he
   tab = _table(jax.random.PRNGKey(0))
   pts = _pts(jax.random.PRNGKey(7), n=1000)  # non-multiple of the piece
@@ -110,7 +111,8 @@ def test_piecewise_map_path_matches_unchunked(monkeypatch):
   dwant = jax.grad(lambda t: jnp.sum(
       hash_encode(t, pts, levels=LEVELS, block_pts=256,
                   interpret=True) ** 2))(tab)
-  monkeypatch.setattr(he, "_MAX_PIECE_PTS", 256)
+  monkeypatch.setattr(he, "_MAX_SINGLE_PTS", 256)
+  monkeypatch.setattr(he, "_MAP_PIECE_PTS", 256)
   got = run(pts)
   dgot = jax.grad(lambda t: jnp.sum(
       hash_encode(t, pts, levels=LEVELS, block_pts=256,
@@ -119,3 +121,44 @@ def test_piecewise_map_path_matches_unchunked(monkeypatch):
                              rtol=1e-5, atol=1e-6)
   np.testing.assert_allclose(np.asarray(dgot), np.asarray(dwant),
                              rtol=1e-5, atol=1e-6)
+
+
+def test_one_kernel_step_sharded_parity():
+  """Sharded ONE-kernel hash train step (round 5) vs single-chip, on the
+  8-device CPU mesh, small table so the one-hot kernel path runs per
+  chip in interpret mode. Loss, MLP-weight grads, AND the psum'ed table
+  cotangent must match."""
+  from nerf_atlas_tpu import models
+  from nerf_atlas_tpu.ops.pallas.render import (
+      fused_plain_hash_train_step, fused_plain_hash_train_step_sharded)
+  from nerf_atlas_tpu.parallel import make_mesh
+
+  model = models.PlainNeRF(steps=8, t_near=2.0, t_far=6.0,
+                           enc_kind="hash",
+                           enc_kwargs={"table_size": 1024})
+  n = 128
+  r_o = jnp.tile(jnp.array([[0.0, 0.0, 3.5]]), (n, 1))
+  r_d = (jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.1
+         + jnp.array([0.0, 0.0, -1.0]))
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  target = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+  mesh = make_mesh()
+  kw = dict(steps=8, t_near=2.0, t_far=6.0, bwd_block_rays=16,
+            interpret=True)
+
+  ls, gs = fused_plain_hash_train_step_sharded(params, rays, target,
+                                               mesh=mesh, **kw)
+  l1, g1 = fused_plain_hash_train_step(params, rays, target, **kw)
+  np.testing.assert_allclose(float(ls), float(l1), rtol=1e-4)
+  flat_s = jax.tree_util.tree_leaves_with_path(gs)
+  flat_1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+  for path, g_shard in flat_s:
+    a = np.asarray(g_shard, np.float64)
+    b = np.asarray(flat_1[path], np.float64)
+    denom = max(np.linalg.norm(b), 1e-12)
+    assert np.linalg.norm(a - b) / denom < 1e-3, (
+        jax.tree_util.keystr(path), np.linalg.norm(a - b) / denom)
+  tg = np.asarray(gs["params"]["density_mlp"]["enc"]["table"])
+  assert np.isfinite(tg).all() and np.abs(tg).max() > 0

@@ -164,6 +164,32 @@ def test_fused_hash_render_and_grad_match_oracle(table_size):
   assert table_grad_norm > 0  # the hash table actually trains
 
 
+def test_fused_hash_render_unrolled_chunks_match_single_pass():
+  """fused_plain_hash_render's chunking is an unrolled loop of direct
+  kernel calls (round 5: a lax.map body scoped-vmem-OOMs on TPU for the
+  packed hash operands — render.py chunking note). A chunked render,
+  including a ragged tail that needs block padding, must equal the
+  single-pass result exactly."""
+  from nerf_atlas_tpu.ops.pallas.render import fused_plain_hash_render
+  model = models.PlainNeRF(steps=16, t_near=2.0, t_far=6.0,
+                           enc_kind="hash",
+                           enc_kwargs={"table_size": 1 << 11})
+  n = 160  # chunks of 64 -> two full chunks + a 32-ray tail
+  key = jax.random.PRNGKey(3)
+  r_o = jnp.tile(jnp.array([[0.0, 0, 3.5]]), (n, 1))
+  r_d = jax.random.normal(key, (n, 3)) * 0.2 + jnp.array([0.0, 0, -1.0])
+  rays = jnp.concatenate([r_o, r_d], -1)
+  params = model.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)}, rays, train=True)
+  kw = dict(steps=16, t_near=2.0, t_far=6.0, interpret=True)
+  want = fused_plain_hash_render(params, rays, block_rays=32, **kw)
+  got = fused_plain_hash_render(params, rays, block_rays=32,
+                                chunk_rays=64, **kw)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-6, atol=1e-7)
+  assert got.shape == (n, 4)
+
+
 def test_fused_render_sharded_grad_matches_single():
   """shard_map multi-chip fused train path: outputs match the single-chip
   kernel and weight grads come back correctly psum'ed (8-device virtual
