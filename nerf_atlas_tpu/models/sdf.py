@@ -48,13 +48,24 @@ class SDFModel(nn.Module):
 
 
 class MLP(SDFModel):
-  """Fourier-encoded MLP SDF."""
+  """Fourier-encoded MLP SDF.
+
+  enc_freqs/enc_sigma: the TPU-native default is 32 freqs at sigma 4
+  (the fused VolSDF kernel's envelope, ops/pallas/render_volsdf.py
+  S_FREQS); the reference's MLP SDF uses 128 freqs at an effective
+  sigma 16 (ref src/sdf.py:250-258 + the no-2π fourier map,
+  src/utils.py:10-17) — pass enc_freqs=128, enc_sigma=16/2π for that
+  spectrum (runner --ref-compat for volsdf/sdf). Non-default widths
+  fall off the fused kernel envelope and run the XLA oracle."""
+  enc_freqs: int = 32
+  enc_sigma: float = 4.0
 
   @nn.compact
   def __call__(self, pts):
     mlp = SkipConnMLP(
         in_size=3, out=1 + self.latent_out,
-        enc=FourierEncoder(input_dims=3, freqs=32, sigma=4.0),
+        enc=FourierEncoder(input_dims=3, freqs=self.enc_freqs,
+                           sigma=self.enc_sigma),
         num_layers=6, hidden_size=256, name="mlp")
     out = mlp(pts)
     # bias init toward a unit sphere: add ||p|| - 1 analytic term scaled in

@@ -35,6 +35,15 @@ class VolSDF(NeRFBase):
   refl_kwargs: Any = None                 # per-kind BRDF knobs (--refl-*)
   occ_kwargs: Any = None                  # e.g. --all-learned-occ-kind
   sdf_kwargs: Any = None                  # e.g. --sphere-init
+  # Laplace-scale parametrization. "softplus" (TPU-native default):
+  # scale = softplus(raw)+1e-4, raw init -2.3 (scale ~0.1) — always
+  # positive, but d(scale)/d(raw) ~ 0.09 at init, ~11x slower scale
+  # adaptation than the reference. "ident": the reference's dynamics —
+  # raw IS the scale (init 0.1, identity activation, ref
+  # src/nerf.py:881,1000); |.| with a 1e-4 floor keeps laplace_cdf
+  # defined where the reference would go negative and NaN. The fused
+  # VolSDF paths serve only "softplus" (driver gates check).
+  scale_kind: str = "softplus"
 
   def setup(self):
     self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.sdf_latent,
@@ -56,8 +65,10 @@ class VolSDF(NeRFBase):
       self.light_refl = LightAndRefl(refl=self.refl,
                                      light=self.light_field)
     self._needs_normal = needs_normal
+    assert self.scale_kind in ("softplus", "ident"), self.scale_kind
     self.density_scale_raw = self.param(
-        "density_scale", nn.initializers.constant(-2.3), ())
+        "density_scale", nn.initializers.constant(
+            0.1 if self.scale_kind == "ident" else -2.3), ())
 
   def sdf_value(self, pts):
     return self.shape(pts)[0]
@@ -67,6 +78,8 @@ class VolSDF(NeRFBase):
 
   def density_params(self):
     """Learned Laplace scale (the reference's `scale`, src/nerf.py:1000)."""
+    if self.scale_kind == "ident":
+      return jnp.maximum(jnp.abs(self.density_scale_raw), 1e-4)
     return jax.nn.softplus(self.density_scale_raw) + 1e-4
 
   def density_from_sdf(self, sdf_vals):

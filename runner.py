@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -479,11 +480,19 @@ def build_model(args, dynamic: bool):
                   encoding_size=args.encoding_size,
                   normalize_latent=args.normalize_latent)
     if args.ref_compat:
-      # ref src/nerf.py:784-793 + src/refl.py:190-207 native dims
+      # ref src/nerf.py:784-793 + src/refl.py:190-207 native dims.
+      # sigma: the reference's fourier map is x @ (32·randn) with NO 2π
+      # (src/utils.py:10-17) while our encoder applies 2π (the fused
+      # kernels bake it in; the ckpt importer divides imported bases by
+      # 2π to match) — so from-scratch ref-compat draws B at 32/2π for
+      # the SAME effective spectrum. Without this the encoder's
+      # bandwidth is 6.3x the reference's and few-view novel-pose PSNR
+      # collapses (measured: PARITY_E2E ae, round 5).
       from nerf_atlas_tpu.nn import FourierEncoder
       kwargs.update(
-          enc_mlp_kwargs=dict(enc=FourierEncoder(input_dims=3, freqs=128),
-                              num_layers=5, hidden_size=128, skip=3),
+          enc_mlp_kwargs=dict(enc=FourierEncoder(
+              input_dims=3, freqs=128, sigma=32 / (2 * math.pi)),
+              num_layers=5, hidden_size=128, skip=3),
           density_mlp_kwargs=dict(num_layers=5, hidden_size=64, skip=3),
           refl_kwargs=dict(hidden_size=256, num_layers=4, siren_w0=1.0))
   elif kind == "volsdf":
@@ -500,7 +509,21 @@ def build_model(args, dynamic: bool):
                   # this the flags were silent no-ops for view-refl volsdf
                   with_normals=(args.eikonal_weight > 0
                                 or args.surface_eikonal > 0),
-                  sdf_kwargs={"sphere_init": args.sphere_init},
+                  sdf_kwargs=(
+                      # reference-native MLP SDF spectrum: 128 freqs at
+                      # effective sigma 16 (ref src/sdf.py:250-258; our
+                      # encoder applies 2π so sigma = 16/2π draws the
+                      # same distribution — models/sdf.py:MLP note).
+                      # The reference recipe also does NOT sphere-init
+                      # (--sphere-init is opt-in upstream, sdf.py:21).
+                      {"sphere_init": False, "enc_freqs": 128,
+                       "enc_sigma": 16 / (2 * math.pi)}
+                      if args.ref_compat and args.sdf_kind in
+                      ("mlp", "curl-mlp")
+                      else {"sphere_init": args.sphere_init}),
+                  # reference scale dynamics: raw IS the scale
+                  # (models/volsdf.py scale_kind note)
+                  **({"scale_kind": "ident"} if args.ref_compat else {}),
                   occ_kwargs=(
                       {"use_dir": args.all_learned_occ_kind == "pos-elaz"}
                       if args.occ_kind in ("all-learned", "joint-all-const")

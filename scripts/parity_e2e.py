@@ -111,14 +111,40 @@ VARIANTS = {
     "ae": dict(
         data_kind="original",
         ref=["--model", "ae", "-lr", "1e-3", "--no-sched"],
-        ours=["--model", "ae", "-lr", "1e-3", "--no-sched"],
+        # --ref-compat: the head-to-head trains the reference's NATIVE
+        # ae architecture on both sides (Fourier encode MLP 5x128 at the
+        # ref's spectrum, density tform 5x64 — runner.py ref-compat
+        # branch). Our TPU-native default (PositionalEncoder, 256-wide
+        # encoder) is a different, higher-bandwidth model that overfits
+        # this 8-view 32px probe scene (train 26 dB / test 13.5 —
+        # measured round 5), which would measure the architecture gap,
+        # not the framework gap.
+        # --density-noise 0.2: the reference trains EVERY CommonNeRF
+        # with sigma=0.2 density noise (hard-coded override, ref
+        # src/nerf.py:197) — a train-time regularizer that matters at
+        # few views; our default is 0 so the matched config sets it.
+        # --shape-to-refl-size 64: the reference's runner passes its
+        # default 64 as intermediate_size to every model (ref
+        # runner.py:127,140), so its NeRFAE density transform emits
+        # 1+64 and its View refl reads a 96-wide latent; our runner
+        # default is 32 (the fused-kernel envelope) — the matched
+        # config overrides it.
+        ours=["--model", "ae", "-lr", "1e-3", "--no-sched",
+              "--ref-compat", "--density-noise", "0.2",
+              "--shape-to-refl-size", "64"],
     ),
     "volsdf": dict(
         data_kind="original",
         ref=["--model", "volsdf", "--sdf-kind", "mlp", "-lr", "3e-4",
              "--sigmoid-kind", "upshifted", "--refl-kind", "pos"],
+        # --ref-compat (round 5): the reference's MLP-SDF spectrum (128
+        # Fourier freqs at effective sigma 16) and no sphere-init — our
+        # TPU-native defaults (32 freqs at sigma-equivalent 25, sphere
+        # bias) plateaued at ~12.9 dB train on this probe scene while
+        # the reference fits it (runner.py volsdf ref-compat branch).
         ours=["--model", "volsdf", "--sdf-kind", "mlp", "-lr", "3e-4",
-              "--sigmoid-kind", "upshifted", "--refl-kind", "pos"],
+              "--sigmoid-kind", "upshifted", "--refl-kind", "pos",
+              "--ref-compat"],
     ),
     "dnerf": dict(
         data_kind="dnerf",
@@ -147,6 +173,15 @@ def run_reference(scene: str, workdir: str, epochs: int, size: int,
   # constructing VolSDF (documented ctor patch, scripts/bench_reference)
   from src import nerf as ref_nerf
   ref_nerf.with_transmission = False
+  # upstream bug (found round 5): `--model ae` through the reference's
+  # OWN runner always crashes — load_model (ref runner.py:1182-1183)
+  # replaces NeRFAE's ctor-built refl (latent = encoding+intermediate =
+  # 96, ref src/nerf.py:773-780,834-837) with one sized
+  # latent_size=model.intermediate_size (64), so the first forward dies
+  # on the latent reshape (neural_blocks.py:286). Accommodation: keep
+  # the ctor-built refl (the model's own intended wiring) by no-op'ing
+  # set_refl for NeRFAE only.
+  ref_nerf.NeRFAE.set_refl = lambda self, refl_obj: None
 
   spec = VARIANTS[variant]
   os.makedirs(workdir, exist_ok=True)
@@ -218,6 +253,12 @@ def main():
   ap.add_argument("--epochs", type=int, default=1500)
   ap.add_argument("--size", type=int, default=32)
   ap.add_argument("--steps", type=int, default=32)
+  ap.add_argument("--train-views", type=int, default=8,
+                  help="training views in the exported scene — the 8-view"
+                       " default probes fit; 30 views makes the held-out"
+                       " split meaningful for variants that overfit it"
+                       " (volsdf: both frameworks hit ~28-30 dB train /"
+                       " ~13-14.5 test at 8 views)")
   ap.add_argument("--workdir", default="/tmp/parity_e2e")
   ap.add_argument("--variants", default="plain",
                   help=f"comma list from {sorted(VARIANTS)}")
@@ -272,14 +313,21 @@ def main():
             cur[k] = val
     except Exception:  # noqa: BLE001
       pass
+    for row in out["variants"].values():
+      if "ours_test_psnr" in row and "reference_test_psnr" in row:
+        row["delta_db"] = round(
+            row["ours_test_psnr"] - row["reference_test_psnr"], 3)
     with open(out_path, "w") as f:
       json.dump(out, f, indent=2)
 
   for variant in variants:
     dyn = VARIANTS[variant]["data_kind"] == "dnerf"
-    scene = os.path.join(args.workdir, "scene_dyn" if dyn else "scene")
+    tag = ("scene_dyn" if dyn else "scene") + (
+        f"{args.train_views}" if args.train_views != 8 else "")
+    scene = os.path.join(args.workdir, tag)
     if not os.path.exists(os.path.join(scene, "transforms_train.json")):
-      export_scene(scene, args.size, dynamic=dyn)
+      export_scene(scene, args.size, n_train=args.train_views, dynamic=dyn)
+    put(variant, "train_views", args.train_views)
     # per-variant budget: variants may run at different (but per-variant
     # MATCHED ours-vs-ref) budgets; the top-level config records the
     # plain variant's original protocol

@@ -347,3 +347,95 @@ def test_no_fused_flag_parses():
                            "--no-fused"])
   assert args.no_fused is True
   assert runner.make_train_config(args).no_fused is True
+
+
+def test_ae_latent_l2_pre_normalization(monkeypatch):
+  """Parity fix (round 5): out['latent_l2'] is the PRE-normalization
+  encoder norm² (reference src/nerf.py:808-812) — under normalize_latent
+  the old post-norm value was constant ≡ 1, a silent no-op exactly where
+  the penalty prevents the norm-runaway collapse. Also: the fused gates
+  now allow latent_l2 for NeRFAE (point-sampled outside the kernel)."""
+  rays0 = jnp.concatenate([jnp.zeros((4, 3)),
+                           jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1)
+  rngs = {"params": jax.random.PRNGKey(0),
+          "sampler": jax.random.PRNGKey(1)}
+  ae = models.NeRFAE(steps=8, normalize_latent=True)
+  p = ae.init(rngs, rays0, train=True)
+  out = ae.apply(p, rays0)
+  ll2 = float(out["latent_l2"])
+  # post-norm value would be exactly 1.0 (mean of sum over a unit
+  # vector); pre-norm is the raw norm², which is not 1 at init
+  assert abs(ll2 - 1.0) > 1e-3, ll2
+  # scale doubles -> latent_l2 quadruples (pure pre-norm quantity):
+  # scale only the encoder's output layer (SkipConnMLP names it
+  # `layer_out`) so the raw encoding exactly doubles
+  p3 = jax.tree.map(lambda x: x, p)
+  enc_scope = p3["params"]["encode"]
+  enc_scope["layer_out"] = jax.tree.map(lambda x: x * 2.0,
+                                        enc_scope["layer_out"])
+  out3 = ae.apply(p3, rays0)
+  np.testing.assert_allclose(float(out3["latent_l2"]), 4.0 * ll2,
+                             rtol=1e-4)
+  # rgb is INVARIANT to that scale under normalize_latent (the null
+  # direction the penalty constrains)
+  out_rgb = ae.apply(p, rays0)["rgb"]
+  np.testing.assert_allclose(np.asarray(out3["rgb"]),
+                             np.asarray(out_rgb), atol=1e-5)
+
+  # fused gates allow latent_l2 for NeRFAE
+  synth = __import__("nerf_atlas_tpu.data.synthetic", fromlist=["dataset"])
+  imgs, cam, _ = synth.dataset(num_views=4, size=16)
+  ds = sampler.RayDataset.from_bundle(
+      loaders.DatasetBundle(imgs, cam, None), size=16)
+  monkeypatch.setattr(driver.jax, "default_backend", lambda: "tpu")
+  cfg = driver.TrainConfig(steps=1, batch_size=128,
+                           reg_coeffs={"latent_l2": 1e-4})
+  assert driver._fused_step_fn(ae, cfg, ds, None, p, None) is not None
+  assert driver._fused_train_fn(ae, cfg, ds, None, p, None) is not None
+  # ...but not for other families
+  plain = models.PlainNeRF(steps=8, enc_kind="cp")
+  pp = plain.init(rngs, rays0, train=True)
+  assert driver._fused_step_fn(plain, cfg, ds, None, pp, None) is None
+
+  # oracle CPU train run with the reg stays finite and trains
+  monkeypatch.undo()
+  cfg2 = driver.TrainConfig(steps=2, batch_size=128, log_freq=1,
+                            save_freq=0, reg_coeffs={"latent_l2": 1e-4})
+  _, _, hist = driver.train(ae, ds, cfg2)
+  assert hist and all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_volsdf_scale_kind_ident(monkeypatch):
+  """Round 5: scale_kind="ident" reproduces the reference's Laplace-scale
+  dynamics (raw IS the scale, init 0.1, ref src/nerf.py:881) — and the
+  fused VolSDF gates serve only the softplus parametrization."""
+  rays0 = jnp.concatenate([jnp.zeros((4, 3)),
+                           jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1)
+  rngs = {"params": jax.random.PRNGKey(0),
+          "sampler": jax.random.PRNGKey(1)}
+  vs = models.VolSDF(steps=8, scale_kind="ident")
+  p = vs.init(rngs, rays0, train=True)
+  raw = float(p["params"]["density_scale"])
+  assert abs(raw - 0.1) < 1e-6, raw   # reference init value, identity param
+  out = vs.apply(p, rays0)
+  assert np.isfinite(np.asarray(out["rgb"])).all()
+  # the scale read matches |raw| (not softplus)
+  assert abs(float(out["scale"]) - 0.1) < 1e-6, float(out["scale"])
+  # gradient magnitude on the raw param is the identity-dynamics one:
+  # d(scale)/d(raw) = sign(raw) = 1 (softplus would scale it by ~0.09)
+  g = jax.grad(lambda pp: vs.apply(pp, rays0)["scale"].sum())(p)
+  assert abs(float(g["params"]["density_scale"]) - 1.0) < 1e-6
+
+  # fused gates reject the ident parametrization (kernels read softplus)
+  synth = __import__("nerf_atlas_tpu.data.synthetic", fromlist=["dataset"])
+  imgs, cam, _ = synth.dataset(num_views=4, size=16)
+  ds = sampler.RayDataset.from_bundle(
+      loaders.DatasetBundle(imgs, cam, None), size=16)
+  monkeypatch.setattr(driver.jax, "default_backend", lambda: "tpu")
+  cfg = driver.TrainConfig(steps=1, batch_size=128)
+  pi = vs.init(rngs, rays0, train=True)
+  assert driver._fused_train_fn(vs, cfg, ds, None, pi, None) is None
+  assert driver._fused_step_fn(vs, cfg, ds, None, pi, None) is None
+  vs_sp = models.VolSDF(steps=8)
+  ps = vs_sp.init(rngs, rays0, train=True)
+  assert driver._fused_train_fn(vs_sp, cfg, ds, None, ps, None) is not None
