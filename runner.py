@@ -458,9 +458,14 @@ def build_model(args, dynamic: bool):
   kwargs = dict(common)
   if kind in ("plain", "coarse_fine"):
     kwargs["refl_kind"] = args.refl_kind
+    # --mip / --enc-kind apply to BOTH plain and coarse_fine (the
+    # reference's coarse_fine is a CommonNeRF with the same encoder
+    # surface; round 5 fix — these silently stayed at the model
+    # defaults for coarse_fine, so `--model coarse_fine --mip cone`
+    # trained a no-mip hash model on the oracle path)
+    kwargs["mip"] = args.mip
+    kwargs["enc_kind"] = args.enc_kind
     if kind == "plain":
-      kwargs["mip"] = args.mip
-      kwargs["enc_kind"] = args.enc_kind
       kwargs["refl_space"] = args.space_kind
       if args.enc_kind == "hash" and args.hash_table_log2 != 19:
         kwargs["enc_kwargs"] = dict(table_size=1 << args.hash_table_log2)

@@ -439,3 +439,18 @@ def test_volsdf_scale_kind_ident(monkeypatch):
   vs_sp = models.VolSDF(steps=8)
   ps = vs_sp.init(rngs, rays0, train=True)
   assert driver._fused_train_fn(vs_sp, cfg, ds, None, ps, None) is not None
+
+
+def test_runner_plumbs_mip_and_enc_to_coarse_fine():
+  """Round 5: `--model coarse_fine --mip cone` must build a mip model
+  (the flags silently stayed at the model defaults — no-mip hash — so
+  the canonical BASELINE config #2 recipe trained the wrong model on
+  the oracle path)."""
+  import runner
+  args = runner.arguments(["-d", "x", "--model", "coarse_fine",
+                           "--mip", "cone", "--enc-kind", "cp"])
+  m = runner.build_model(args, dynamic=False)
+  assert m.mip == "cone" and m.enc_kind == "cp"
+  args2 = runner.arguments(["-d", "x", "--model", "coarse_fine"])
+  m2 = runner.build_model(args2, dynamic=False)
+  assert m2.mip is None
