@@ -391,7 +391,10 @@ def _fused_train_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
         kw = dict(steps=model.steps, t_near=model.t_near,
                   t_far=model.t_far, sigmoid_kind=model.sigmoid_kind,
                   sky_kind=model.sky_kind, sphere_init=sphere_init,
-                  want_eikonal=want_eik)
+                  want_eikonal=want_eik,
+                  # eikonal adjoint spills registers at 16-ray backward
+                  # blocks (see the one-kernel branch note)
+                  **({"bwd_block_rays": 8} if want_eik else {}))
         if mesh is not None:
           return fused_volsdf_render_train_sharded(p, rays, ts, mesh=mesh,
                                                    **kw)
@@ -598,10 +601,17 @@ def _fused_step_fn(model, cfg: TrainConfig, ds, extra_kwargs, params,
                                               fused_volsdf_train_step)
       _flatten_params_volsdf(params)
 
+      # the eikonal second-order adjoint doubles the backward kernel's
+      # live range; at the default 16-ray block Mosaic's register
+      # allocator spills 139 MB of scoped vmem and the compile dies
+      # ("Ran out of memory in memory space vmem", v5e) — 8-ray blocks
+      # compile and run (measured round 5)
+      vs_kw = dict(base_kw, bwd_block_rays=8) if eik else base_kw
+
       def fn(p, rays, pix, t, key):
         return fused_volsdf_train_step(p, rays, pix, _ts(key),
                                        sphere_init=sphere_init,
-                                       eikonal_weight=eik, **base_kw)
+                                       eikonal_weight=eik, **vs_kw)
 
       return fn
 

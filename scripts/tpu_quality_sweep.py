@@ -179,7 +179,20 @@ def main():
       continue
     data_kind = extra[extra.index("--data-kind") + 1]
     epochs = args.epochs * EPOCH_MULT.get(name, 1)
-    psnr, psnr_test, path, wall = run_one(name, extra, epochs=epochs)
+    try:
+      psnr, psnr_test, path, wall = run_one(name, extra, epochs=epochs)
+    except Exception as e:  # noqa: BLE001 — a crashing config must not
+      # take the rest of the sweep down with it (the r04/r05 pattern:
+      # one compile OOM emptied every row after it)
+      print(f"[sweep] {name}: CRASHED {type(e).__name__}: {str(e)[:300]}")
+      rows = [r for r in rows if r["config"] != name] + [dict(
+          config=name, error=f"{type(e).__name__}: {str(e)[:300]}",
+          beats_black_by_2db=False, fused_engaged=False, path="crashed",
+          expect_oracle=expect_oracle, epochs=epochs, size=args.size,
+          views=args.views, batch_size=args.batch_size, backend=backend)]
+      with open(args.out, "w") as f:
+        json.dump(dict(backend=backend, rows=rows), f, indent=2)
+      continue
     fused = path.startswith("fused")
     black = black_psnr(data_kind, args.size, args.views)
     ok = (bool(np.isfinite(psnr)) and psnr > black + 2.0
