@@ -308,11 +308,12 @@ def single_image(path: str, training: bool = True, size: int = 256):
 
 def synthetic_spheres(path: str = "", training: bool = True, size: int = 64,
                       num_views: int = 8, dynamic: bool = False,
-                      white_bg: bool = False, lit: bool = False):
+                      white_bg: bool = False, lit: bool = False,
+                      front_facing: bool = False):
   """Procedural golden scene (see synthetic.py). `path` ignored."""
   labels, camera, lights = synthetic.dataset(
       num_views=num_views, size=size, dynamic=dynamic, white_bg=white_bg,
-      lit=lit, seed=0 if training else 1)
+      lit=lit, seed=0 if training else 1, front_facing=front_facing)
   return DatasetBundle(labels, camera, lights)
 
 
@@ -327,6 +328,10 @@ LOADER_KINDS = {
     "synthetic": synthetic_spheres,
     "synthetic-dyn": lambda *a, **kw: synthetic_spheres(*a, dynamic=True, **kw),
     "synthetic-lit": lambda *a, **kw: synthetic_spheres(*a, lit=True, **kw),
+    # LLFF-style forward-facing capture of the same scene (the geometry
+    # MPI-class models are built for)
+    "synthetic-ff": lambda *a, **kw: synthetic_spheres(
+        *a, front_facing=True, **kw),
 }
 
 

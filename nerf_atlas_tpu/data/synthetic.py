@@ -36,13 +36,25 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)):
   return c2w
 
 
-def hemisphere_poses(n: int, radius: float = 3.0, seed: int = 0):
-  """n camera-to-world poses on the upper hemisphere looking at origin."""
+def hemisphere_poses(n: int, radius: float = 3.0, seed: int = 0,
+                     front_facing: bool = False):
+  """n camera-to-world poses looking at the origin.
+
+  Default: spread over the upper hemisphere (the NeRF-synthetic orbit).
+  front_facing: clustered in a narrow cone on the -z side looking +z —
+  the LLFF/forward-facing capture geometry that plane-sweep
+  representations (MPI) can actually express; cameras at z < 0 make
+  ray·(0,0,1) > 0, so ascending plane offsets composite front-to-back.
+  """
   rng = np.random.default_rng(seed)
   poses = []
   for i in range(n):
-    azim = 2 * math.pi * (i / n) + rng.uniform(0, 0.1)
-    elev = rng.uniform(0.15, 1.2)
+    if front_facing:
+      azim = -math.pi / 2 + (rng.uniform(-0.22, 0.22) if n > 1 else 0.0)
+      elev = rng.uniform(0.25, 0.55)
+    else:
+      azim = 2 * math.pi * (i / n) + rng.uniform(0, 0.1)
+      elev = rng.uniform(0.15, 1.2)
     eye = (radius * math.cos(elev) * math.cos(azim),
            radius * math.sin(elev),
            radius * math.cos(elev) * math.sin(azim))
@@ -195,14 +207,16 @@ def render_gt(camera, size: int, *, t_near=2.0, t_far=4.5, steps=96,
 
 
 def dataset(num_views: int = 8, size: int = 64, *, dynamic: bool = False,
-            white_bg: bool = False, lit: bool = False, seed: int = 0):
+            white_bg: bool = False, lit: bool = False, seed: int = 0,
+            front_facing: bool = False):
   """(labels, camera, lights|None) in the loader contract.
 
   Static: labels = imgs [N,S,S,4]. Dynamic: labels = (imgs, times [N]).
   Lit: per-view point lights on a ring; lights dict in the nerv_point
   loader contract ({"positions" [N,1,3], "intensity"}).
+  front_facing: LLFF-style clustered poses (see hemisphere_poses).
   """
-  poses = hemisphere_poses(num_views, seed=seed)
+  poses = hemisphere_poses(num_views, seed=seed, front_facing=front_facing)
   camera = cam_lib.NeRFCamera.from_json_transforms(
       poses, camera_angle_x=0.6911, width=size)
   times = np.linspace(0.0, 1.0, num_views) if dynamic else None

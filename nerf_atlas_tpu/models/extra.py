@@ -35,6 +35,15 @@ class MPI(NeRFBase):
   n_planes: int = 32
   normal: Any = (0.0, 0.0, 1.0)
   delta: float = 0.1
+  # world-space plane span. Planes are SCENE geometry: they must cover
+  # the content volume (the procedural scene sits in |p| <= ~0.7), NOT
+  # the camera ray interval — the old offsets in [t_near, t_far] put
+  # every plane at z in [2, 6], outside the scene, and MPI quality
+  # pinned at the black baseline (round-5 sweep finding). Ref context:
+  # the reference's MPI (src/nerf.py:640-664) centers its planes on a
+  # reference camera looking at the content.
+  plane_min: float = -1.0
+  plane_max: float = 1.0
 
   def setup(self):
     self.embeddings = self.param(
@@ -46,9 +55,10 @@ class MPI(NeRFBase):
   def __call__(self, rays, times=None, latents=None, train: bool = False):
     r_o, r_d = rays[..., :3], rays[..., 3:6]
     n = jnp.asarray(self.normal, rays.dtype)
-    # plane offsets along the normal, near to far
-    offsets = self.t_near + (self.t_far - self.t_near) * jnp.arange(
-        self.n_planes, dtype=rays.dtype) / max(self.n_planes - 1, 1)
+    # plane offsets along the normal, spanning the content volume
+    offsets = self.plane_min + (self.plane_max - self.plane_min) * (
+        jnp.arange(self.n_planes, dtype=rays.dtype)
+        / max(self.n_planes - 1, 1))
     denom = jnp.sum(r_d * n, axis=-1, keepdims=True)
     denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
     # intersection t per plane: [..., P]

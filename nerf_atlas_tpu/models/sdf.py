@@ -243,6 +243,10 @@ class SDF(nn.Module):
   alpha: float = 500.0   # throughput sharpness
   refl_kwargs: Any = None
   sdf_kwargs: Any = None
+  # eval tiling bound (driver.render_view): the root-finding march at
+  # 65536-ray chunks crashes the v5e remote compile helper; the train
+  # batch shape is proven
+  EVAL_CHUNK_CAP = 4096
 
   def setup(self):
     self.shape = load_sdf_shape(self.sdf_kind, latent_out=self.latent_out,
@@ -297,7 +301,17 @@ class SDF(nn.Module):
     rgb = jnp.where(hits[..., None], rgb, 0.0)
 
     out = dict(rgb=rgb, hits=hits, pts=pts, normals=n)
-    # differentiable silhouette: sigmoid(-alpha * min_sdf) ~ hit probability
-    out["throughput"] = jax.nn.sigmoid(-self.alpha * tput)
+    # differentiable silhouette: sigmoid(-alpha * min_sdf) ~ hit
+    # probability. sil_logit is the PRE-sigmoid value: at alpha = 500
+    # the sigmoid is fully saturated for |min sdf| > ~0.01, so an l2
+    # loss on the squashed value has zero gradient almost everywhere
+    # and geometry never trains (the round-5 sweep's sdf_surface row
+    # pinned at loss 0.23 for 1500 steps) — the driver supervises the
+    # logit with sigmoid-BCE instead, whose gradient is linear in the
+    # logit. (The reference's own `--model sdf` path dies upstream:
+    # runner.py:598 calls sdf.masked_loss, which src/sdf.py never
+    # defines.)
+    out["sil_logit"] = -self.alpha * tput
+    out["throughput"] = jax.nn.sigmoid(out["sil_logit"])
     out["weights"] = out["throughput"]
     return out

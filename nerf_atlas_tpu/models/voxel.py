@@ -35,6 +35,11 @@ class NeRFVoxel(NeRFBase):
   refl_kind: str = "pos"
   world_min: float = -1.0
   world_max: float = 1.0
+  # eval tiling bound (driver.render_view): a 65536-ray eval chunk's
+  # 4.2M-point trilinear grid gather crashes the v5e remote compile
+  # helper (subprocess exit 1, no diagnostic — round 5); the 4096-ray
+  # train batch shape is proven, so eval reuses it
+  EVAL_CHUNK_CAP = 4096
 
   def setup(self):
     R = self.resolution
@@ -81,6 +86,7 @@ class DynamicNeRFVoxel(NeRFBase):
   refl_kind: str = "pos"
   world_min: float = -1.0
   world_max: float = 1.0
+  EVAL_CHUNK_CAP = 4096  # see NeRFVoxel
 
   def setup(self):
     Rw = self.warp_resolution

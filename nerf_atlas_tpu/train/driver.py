@@ -766,11 +766,23 @@ def make_train_step(model, ds, loss_fn, tx, cfg: TrainConfig,
       out = model.apply(model_params, rays, train=True,
                         rngs={"sampler": k2}, **kwargs)
       pred = out["rgb"]
-      if "throughput" in out and pix.shape[-1] > 3:
-        # differentiable silhouette channel vs the dataset mask (SDF-style
-        # masked supervision, reference runner.py:598)
-        pred = jnp.concatenate([pred, out["throughput"]], axis=-1)
-      main = loss_fn(pred, pix)
+      if "sil_logit" in out and pix.shape[-1] > 3:
+        # SDF-surface silhouette supervision in LOGIT space: BCE on the
+        # pre-sigmoid value — l2 on the squashed sigmoid(-500·sdf) has
+        # zero gradient once saturated (|sdf| > ~0.01 everywhere at
+        # init) and geometry never trained (models/sdf.py sil_logit
+        # note; the reference's masked-loss path is broken upstream,
+        # ref runner.py:598)
+        import optax
+        main = loss_fn(pred, pix[..., :3]) + jnp.mean(
+            optax.sigmoid_binary_cross_entropy(
+                out["sil_logit"][..., 0], pix[..., 3]))
+      else:
+        if "throughput" in out and pix.shape[-1] > 3:
+          # differentiable silhouette channel vs the dataset mask
+          # (SDF-style masked supervision, reference runner.py:598)
+          pred = jnp.concatenate([pred, out["throughput"]], axis=-1)
+        main = loss_fn(pred, pix)
       if "coarse_rgb" in out:  # hierarchical: supervise both passes
         main = main + loss_fn(out["coarse_rgb"], pix)
       if style_fn is not None:
@@ -1297,6 +1309,12 @@ def render_view(model, params, ds: sampler_lib.RayDataset, view: int,
     # relightable eval: per-sample occlusion marches multiply the
     # working set by march-steps × lights — large chunks OOM HBM
     chunk = min(chunk, 4096)
+  cap = getattr(type(model), "EVAL_CHUNK_CAP", None)
+  if cap:
+    # model-advertised eval tiling bound (e.g. voxel grids: the big
+    # per-sample trilinear gather crashes the remote compile helper at
+    # 65536-ray chunks — models/voxel.py note)
+    chunk = min(chunk, cap)
 
   fused = _fused_render_fn(model, params) if mode == "rgb" else None
   if (fused is not None and getattr(fused, "needs_times", False)

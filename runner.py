@@ -29,7 +29,7 @@ def arguments(argv=None):
   a.add_argument("--data-kind", default=None,
                  choices=[None, "original", "dnerf", "dtu", "nerv_point",
                           "shiny", "single_video", "pixel-single", "synthetic",
-                          "synthetic-dyn", "synthetic-lit"],
+                          "synthetic-dyn", "synthetic-lit", "synthetic-ff"],
                  help="dataset loader (default: derived from path)")
   a.add_argument("--derive-kind", action="store_false",
                  help="allow deriving the data kind from the path "

@@ -34,6 +34,8 @@ def black_psnr(data_kind: str, size: int, views: int) -> float:
     kw["lit"] = True
   elif data_kind == "synthetic-dyn":
     kw["dynamic"] = True
+  elif data_kind == "synthetic-ff":
+    kw["front_facing"] = True
   labels, *_ = synthetic.dataset(num_views=views, size=size, seed=0, **kw)
   if isinstance(labels, (tuple, list)):
     labels = labels[0]
@@ -94,7 +96,11 @@ CONFIGS = [
 ORACLE_CONFIGS = [
     ("voxel", ["--data-kind", "synthetic", "--model", "voxel",
                "--voxel-resolution", "64", "-lr", "5e-3"]),
-    ("mpi", ["--data-kind", "synthetic", "--model", "mpi",
+    # synthetic-ff: MPI is a forward-facing (LLFF-geometry)
+    # representation — plane-sweep content cannot express a 360° orbit,
+    # so its row trains on the clustered-pose export of the same scene
+    # (data/synthetic.py front_facing)
+    ("mpi", ["--data-kind", "synthetic-ff", "--model", "mpi",
              "-lr", "1e-3"]),
     ("sdf_surface", ["--data-kind", "synthetic", "--model", "sdf",
                      "--sdf-kind", "mlp", "-lr", "1e-3"]),
