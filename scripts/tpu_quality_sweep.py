@@ -99,9 +99,11 @@ ORACLE_CONFIGS = [
     # synthetic-ff: MPI is a forward-facing (LLFF-geometry)
     # representation — plane-sweep content cannot express a 360° orbit,
     # so its row trains on the clustered-pose export of the same scene
-    # (data/synthetic.py front_facing)
+    # (data/synthetic.py front_facing). lr 3e-4: the classic SIREN lr —
+    # measured A/B on-chip: 3e-4 -> 41.0/37.9 dB, 1e-3 -> 13.7 (stuck),
+    # 5e-3 -> 13.5 (diverged to black).
     ("mpi", ["--data-kind", "synthetic-ff", "--model", "mpi",
-             "-lr", "1e-3"]),
+             "-lr", "3e-4"]),
     ("sdf_surface", ["--data-kind", "synthetic", "--model", "sdf",
                      "--sdf-kind", "mlp", "-lr", "1e-3"]),
 ]
